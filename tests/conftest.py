@@ -1,0 +1,36 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so that the multi-chip sharding paths
+(`vistaf_tpu.parallel`) can be exercised without TPU hardware, mirroring the
+reference's absence of any distributed prior art (SURVEY.md §4).
+
+Must set env vars before the first `import jax` anywhere in the test session.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The hosting environment pre-selects an experimental TPU platform plugin;
+# the env var alone does not override it once absl flags are parsed, so force
+# the config flag too (must happen before the first backend use).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,57 @@
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from vistaf_tpu.ops import components
+
+
+def _random_blobs(rng, shape=(64, 64), n=6, rmax=8):
+    mask = np.zeros(shape, dtype=bool)
+    for _ in range(n):
+        cy, cx = rng.integers(0, shape[0]), rng.integers(0, shape[1])
+        r = rng.integers(2, rmax)
+        yy, xx = np.ogrid[:shape[0], :shape[1]]
+        mask |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    return mask
+
+
+def test_label_component_partition(rng):
+    mask = _random_blobs(rng)
+    ours = np.asarray(components.label(jnp.asarray(mask)))
+    n_ref, ref = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+    # same partition: map our root ids to cv2 labels bijectively
+    assert (ours >= 0).sum() == (ref > 0).sum()
+    for lab in np.unique(ours[ours >= 0]):
+        sel = ours == lab
+        assert len(np.unique(ref[sel])) == 1
+    for lab in range(1, n_ref):
+        sel = ref == lab
+        assert len(np.unique(ours[sel])) == 1
+
+
+def test_largest_component_matches_cv2(rng):
+    for _ in range(3):
+        mask = _random_blobs(rng)
+        ours = np.asarray(components.largest_component(jnp.asarray(mask)))
+        num, labels, stats, _ = cv2.connectedComponentsWithStats(mask.astype(np.uint8), connectivity=8)
+        areas = stats[1:, cv2.CC_STAT_AREA]
+        best = 1 + int(np.argmax(areas))
+        ref = labels == best
+        # ties in area may legitimately pick different components
+        if sorted(areas)[-1] != (sorted(areas)[-2] if len(areas) > 1 else -1):
+            np.testing.assert_array_equal(ours, ref)
+
+
+def test_filter_components_by_peak(rng):
+    mask = np.zeros((32, 48), dtype=bool)
+    mask[4:10, 4:10] = True     # blob A
+    mask[20:28, 30:40] = True   # blob B
+    vals = np.zeros((32, 48), np.float32)
+    vals[6, 6] = 0.5            # A peak 0.5
+    vals[24, 34] = 2.0          # B peak 2.0
+    keep = np.asarray(components.filter_components_by_peak(
+        jnp.asarray(mask), jnp.asarray(vals), jnp.float32(1.0)))
+    assert not keep[6, 6]
+    assert keep[24, 34]
+    assert keep[20:28, 30:40].all()
+    assert not keep[4:10, 4:10].any()

@@ -1,0 +1,30 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.ndimage import distance_transform_edt as scipy_edt
+
+from vistaf_tpu.ops import distance
+
+
+def test_edt_matches_scipy(rng):
+    mask = rng.random((64, 80)) > 0.3
+    mask[0, :] = False  # ensure at least one seed
+    ours = np.asarray(distance.distance_transform_edt(jnp.asarray(mask)))
+    ref = scipy_edt(mask)
+    # JFA is near-exact; allow tiny deviations on rare pixels
+    err = np.abs(ours - ref)
+    assert err.max() < 0.5, err.max()
+    assert (err > 1e-3).mean() < 0.01
+
+
+def test_edt_all_true_returns_large():
+    mask = np.ones((16, 16), dtype=bool)
+    out = np.asarray(distance.distance_transform_edt(jnp.asarray(mask)))
+    assert np.all(out > 10)  # no seeds: effectively infinite distance
+
+
+def test_erode_by_distance(rng):
+    mask = np.zeros((40, 40), dtype=bool)
+    mask[5:35, 5:35] = True
+    out = np.asarray(distance.erode_by_distance(jnp.asarray(mask), 6))
+    ref = scipy_edt(mask) > 6.0
+    assert (out == (ref & mask)).mean() > 0.99

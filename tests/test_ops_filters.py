@@ -1,0 +1,64 @@
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from vistaf_tpu.ops import filters
+
+
+def test_gaussian_kernel_matches_cv2():
+    for sigma in [1.5, 2.5, 6.0, 45.0]:
+        ours = filters.gaussian_kernel1d(sigma)
+        ksize = len(ours)
+        ref = cv2.getGaussianKernel(ksize, sigma).ravel()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_gaussian_blur_matches_cv2(rng):
+    img = rng.random((64, 80)).astype(np.float32) * 255
+    for sigma in [1.5, 6.0]:
+        ours = np.asarray(filters.gaussian_blur(jnp.asarray(img), sigma))
+        ref = cv2.GaussianBlur(img, (0, 0), sigma)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-2)
+
+
+def test_gaussian_blur_anisotropic(rng):
+    img = rng.random((50, 60)).astype(np.float32)
+    ours = np.asarray(filters.gaussian_blur(jnp.asarray(img), 6.0, 1.0))
+    ref = cv2.GaussianBlur(img, (0, 0), sigmaX=6.0, sigmaY=1.0)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_box_filter_matches_cv2(rng):
+    img = rng.random((40, 52)).astype(np.float32)
+    ours = np.asarray(filters.box_filter(jnp.asarray(img), 11, normalize=False))
+    ref = cv2.boxFilter(img, ddepth=-1, ksize=(11, 11), normalize=False)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sobel_matches_cv2(rng):
+    img = (rng.random((40, 52)) * 255).astype(np.float32)
+    gx = np.asarray(filters.sobel(jnp.asarray(img), 1, 0))
+    gy = np.asarray(filters.sobel(jnp.asarray(img), 0, 1))
+    ref_gx = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3)
+    ref_gy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3)
+    # interior must match exactly; borders differ only by cv2's border handling
+    np.testing.assert_allclose(gx[1:-1, 1:-1], ref_gx[1:-1, 1:-1], atol=1e-3)
+    np.testing.assert_allclose(gy[1:-1, 1:-1], ref_gy[1:-1, 1:-1], atol=1e-3)
+
+
+def test_masked_gaussian_smooth_formula(rng):
+    z = rng.random((32, 32)).astype(np.float32)
+    mask = rng.random((32, 32)) > 0.3
+    ours = np.asarray(filters.masked_gaussian_smooth(jnp.asarray(z), jnp.asarray(mask), 2.5))
+    z0 = z.copy()
+    z0[~mask] = 0.0
+    num = cv2.GaussianBlur(z0, (0, 0), 2.5)
+    den = cv2.GaussianBlur(mask.astype(np.float32), (0, 0), 2.5) + 1e-6
+    ref = num / den
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_hanning_window_matches_cv2():
+    ours = filters.hanning_window(48, 64)
+    ref = cv2.createHanningWindow((64, 48), cv2.CV_32F)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

@@ -1,0 +1,79 @@
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from vistaf_tpu.ops import registration, filters
+
+
+def _textured(rng, h=128, w=160):
+    img = rng.random((h, w)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (0, 0), 3) * 255
+    return img.astype(np.float32)
+
+
+def test_phase_correlate_matches_cv2(rng):
+    a = _textured(rng)
+    shift = (4.3, -2.6)
+    M = np.array([[1, 0, shift[0]], [0, 1, shift[1]]], np.float32)
+    b = cv2.warpAffine(a, M, (a.shape[1], a.shape[0]), borderMode=cv2.BORDER_REFLECT)
+
+    hann = cv2.createHanningWindow((a.shape[1], a.shape[0]), cv2.CV_32F)
+    ref_shift, ref_resp = cv2.phaseCorrelate(a, b, hann)
+    dx, dy, resp = registration.phase_correlate(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(hann))
+    # cv2 and ours differ by sub-half-pixel in the weighted-centroid detail;
+    # the global-shift correction only needs coarse alignment (ECC refines).
+    assert abs(float(dx) - ref_shift[0]) < 0.5
+    assert abs(float(dy) - ref_shift[1]) < 0.5
+    # and we must recover the applied shift accurately (the synthetic warp's
+    # reflect border biases both estimators at the ~0.2 px level)
+    assert abs(float(dx) - shift[0]) < 0.3
+    assert abs(float(dy) - shift[1]) < 0.3
+
+
+def test_ecc_euclidean_recovers_warp(rng):
+    ref = _textured(rng, 120, 120)
+    th = 0.02
+    true_M = np.array([[np.cos(th), -np.sin(th), 1.5],
+                       [np.sin(th), np.cos(th), -2.0]], np.float32)
+    # moving image = ref sampled at W(x): mov(x) = ref? build mov so that
+    # sampling mov at W(x) recovers ref: mov = warp of ref with inverse map of
+    # inverse warp -> just generate mov by warping ref forward with true_M.
+    mov = cv2.warpAffine(ref, true_M, (120, 120),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_REFLECT)
+    # now mov(x) = ref(W x) => template=mov, image=ref gives warp ~ true_M
+    mask = np.ones((120, 120), dtype=bool)
+
+    warp, rho, it = registration.ecc_align(
+        jnp.asarray(mov), jnp.asarray(ref), jnp.asarray(mask),
+        mode="euclidean", max_iters=200, eps=1e-7)
+    warp = np.asarray(warp)
+    assert float(rho) > 0.99
+    # we recover the true warp essentially exactly
+    np.testing.assert_allclose(warp, true_M, atol=0.01)
+
+    # cv2's ECC (with its internal blur and early rho-based stop) lands in
+    # the same neighborhood
+    cv_warp = np.eye(2, 3, dtype=np.float32)
+    cc, cv_warp = cv2.findTransformECC(
+        mov, ref, cv_warp, cv2.MOTION_EUCLIDEAN,
+        (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 200, 1e-7))
+    np.testing.assert_allclose(warp, cv_warp, atol=0.1)
+
+
+def test_ecc_align_and_warp_translation(rng):
+    ref = _textured(rng, 100, 100)
+    M = np.array([[1, 0, 3.0], [0, 1, 1.5]], np.float32)
+    mov = cv2.warpAffine(ref, M, (100, 100),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_REFLECT)
+    mask = np.zeros((100, 100), dtype=bool)
+    mask[10:90, 10:90] = True
+    aligned, warp, rho = registration.ecc_align_and_warp(
+        jnp.asarray(ref), jnp.asarray(mov), jnp.asarray(mask),
+        mode="translation", max_iters=100, eps=1e-6, gauss_filt=3.0)
+    # aligned should match ref in the interior
+    a = np.asarray(aligned)
+    err = np.abs(a[20:80, 20:80] - ref[20:80, 20:80])
+    assert err.mean() < 2.0

@@ -1,0 +1,42 @@
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from vistaf_tpu.ops import warp
+
+
+def test_warp_affine_inverse_map_matches_cv2(rng):
+    img = (rng.random((60, 70)) * 255).astype(np.float32)
+    th = 0.03
+    M = np.array([[np.cos(th), -np.sin(th), 2.3],
+                  [np.sin(th), np.cos(th), -1.7]], np.float32)
+    ours = np.asarray(warp.warp_affine_inverse_map(jnp.asarray(img), jnp.asarray(M)))
+    ref = cv2.warpAffine(img, M, (70, 60),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_REFLECT)
+    np.testing.assert_allclose(ours, ref, atol=0.75)  # cv2 fixed-point interp
+    interior = np.abs(ours[5:-5, 5:-5] - ref[5:-5, 5:-5])
+    assert interior.mean() < 0.05
+
+
+def test_warp_affine_forward_matches_cv2(rng):
+    img = (rng.random((40, 50)) * 255).astype(np.float32)
+    M = np.array([[1.0, 0.0, 3.25], [0.0, 1.0, -2.5]], np.float32)
+    ours = np.asarray(warp.warp_affine_forward(jnp.asarray(img), jnp.asarray(M)))
+    ref = cv2.warpAffine(img, M, (50, 40), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT)
+    np.testing.assert_allclose(ours, ref, atol=0.75)
+
+
+def test_rotation_matrix_matches_cv2():
+    ours = np.asarray(warp.rotation_matrix((35.0, 20.0), 17.0))
+    ref = cv2.getRotationMatrix2D((35.0, 20.0), 17.0, 1.0)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_invert_affine():
+    M = np.array([[0.9, -0.1, 5.0], [0.1, 0.9, -3.0]], np.float32)
+    Minv = np.asarray(warp.invert_affine(jnp.asarray(M)))
+    M3 = np.vstack([M, [0, 0, 1]])
+    ref = np.linalg.inv(M3)[:2]
+    np.testing.assert_allclose(Minv, ref, rtol=1e-5, atol=1e-5)

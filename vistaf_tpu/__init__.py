@@ -1,0 +1,23 @@
+"""vistaf_tpu — TPU-native rebuild of the VISTAF RoboSkin multimodal tactile sensor.
+
+A JAX/XLA/Pallas framework providing the full capability surface of the
+reference (single-RGB-camera soft tactile skin: force, shape/heightmap and
+temperature estimation via Fourier Transform Profilometry and thermochromic
+liquid-crystal color regression), re-designed TPU-first:
+
+- every per-frame stage is a pure, statically-shaped function over arrays,
+  composed into one jitted graph per pipeline (``vistaf_tpu.pipelines``);
+- hot primitives (FFT demodulation, masked filtering, phase unwrapping,
+  per-pixel polynomial regression) live in ``vistaf_tpu.ops`` /
+  ``vistaf_tpu.pallas``;
+- calibration artifacts load into plain weight pytrees
+  (``vistaf_tpu.calib``) — no sklearn at inference time;
+- multi-camera / batched scaling goes through ``jax.sharding`` meshes
+  (``vistaf_tpu.parallel``), not host loops.
+
+Layer map mirrors SURVEY.md §7.1.
+"""
+
+__version__ = "0.1.0"
+
+from vistaf_tpu import config  # noqa: F401

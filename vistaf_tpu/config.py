@@ -1,0 +1,220 @@
+"""Frozen, hashable configuration objects for every pipeline.
+
+The reference configures each script through ~90 module-level UPPERCASE
+constants mutated by kwargs and cross-module monkeypatching
+(``shape_ftp.py:13-224``, ``shape_ftp.py:1440-1462``,
+``multimodal_sensor.py:492-503``).  Here each pipeline gets one frozen
+dataclass whose instances are hashable, so they can be passed to ``jax.jit``
+as static arguments; all defaults reproduce the reference values.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+Point = Tuple[int, int]
+
+
+@dataclass(frozen=True)
+class FTPConfig:
+    """Fourier-transform-profilometry core configuration.
+
+    Defaults mirror ``shape_ftp.py:13-224``.
+    """
+
+    # --- ROI: outer circle from 3 fixed points (shape_ftp.py:41-43) ---
+    outer_circle_p1: Point = (1873, 1703)
+    outer_circle_p2: Point = (1599, 707)
+    outer_circle_p3: Point = (2575, 950)
+    roi_erode_px: int = 0
+
+    # --- Sideband isolation (shape_ftp.py:24-32) ---
+    sideband_method: str = "patch_shift"  # or "gauss"
+    patch_half_width_bins: int = 10
+    patch_window: str = "hann"
+    band_radius: float = 8.0
+    gauss_trunc_radius: float = 24.0
+    dc_exclusion: int = 10
+    n_fft_peaks: int = 12
+
+    # --- Preprocess (shape_ftp.py:34-38, 110-124) ---
+    fft_pad_px: int = 96
+    pre_blur_sigma_px: float = 1.5
+    illum_sigma_px: float = 45.0
+    remove_mean_after_apod: bool = True
+    use_circular_apodization: bool = True
+    apod_taper_px: int = 120
+    use_hann_window: bool = False
+
+    bad_pixel_enable: bool = True
+    bad_intensity_percentile: float = 99.9
+    bad_gradient_percentile: float = 99.7
+    bad_dilate_ksize: int = 5
+    bad_dilate_iters: int = 1
+    bad_inpaint_radius: int = 3
+
+    # --- Reliability mask (shape_ftp.py:90-97, 113-115) ---
+    amp_valid_percentile: float = 25.0
+    quality_smooth_sigma_px: float = 6.0
+    reliable_keep_largest_cc: bool = True
+    reliable_edge_margin_px: int = 6
+    valid_morph_close: bool = True
+    valid_close_kernel: int = 7
+    valid_close_iters: int = 1
+
+    # --- Detrend (shape_ftp.py:95, 127-134) ---
+    poly_order: int = 2
+    use_two_pass_detrend: bool = True
+    contact_core_percentile: float = 8.0
+    contact_percentile: float = 92.0
+    dilate_kernel_size: int = 15
+    dilate_iters: int = 2
+    min_contact_frac: float = 0.002
+    max_contact_frac: float = 0.40
+    remove_global_plane_before_detrend: bool = True
+    plane_order_for_removal: int = 1
+
+    # --- Heightmap assembly (shape_ftp.py:96, 137-153) ---
+    reliable_smooth_sigma_px: float = 2.5
+    unreliable_base_value: float = 0.0
+    fill_internal_holes_in_reliable: bool = True
+    hole_neighborhood_px: int = 11
+    hole_known_fraction: float = 0.70
+    hole_min_dist_from_reliable_edge_px: int = 4
+    inpaint_radius: int = 5
+    smooth_unreliable_region: bool = True
+    unreliable_smooth_sigma_px: float = 9.0
+    allow_positive_deformation: bool = False
+    auto_flip_sign: bool = True
+
+    # --- Frontier taper (shape_ftp.py:102-104) ---
+    frontier_zero_enable: bool = True
+    frontier_zero_band_px: int = 200
+    frontier_zero_curve: str = "smoothstep"
+
+    # --- Output units (shape_ftp.py:49-53) ---
+    output_height_in_mm: bool = True
+    mm_keep_indentation_negative: bool = False
+
+    # --- Contact blob filter (shape_ftp.py:59-71) ---
+    filter_small_contact_blobs: bool = True
+    contact_blob_min_peak_mm: float = 0.1
+    contact_blob_min_peak_rel_frac: float = 1.0 / 3.0
+    contact_blob_min_area_px: int = 0
+
+    # --- Alignment (shape_ftp.py:174-197) ---
+    apply_global_shift: bool = True
+    use_ecc_crop_alignment: bool = True
+    ecc_warp_mode: str = "euclidean"
+    ecc_iters: int = 300
+    ecc_eps: float = 1e-7
+    ecc_gauss_filt: float = 5.0
+    global_shift_blur_sigma: float = 7.0
+
+    # --- Carrier handling (shape_ftp.py:200-218) ---
+    force_right_half_plane: bool = True
+    prefer_peak_near_center_row: bool = True
+    peak_max_dy_from_center: float = 0.12
+    carrier_local_search_radius: int = 6
+    lock_carrier_to_reference: bool = True
+    apply_dk_ramp_correction: bool = True
+
+    # --- Unwrap solver (TPU substitution for shape_ftp.py:1043-1080) ---
+    unwrap_cg_iters: int = 30
+    unwrap_cg_tol: float = 1e-8
+
+    # --- Image geometry (static shapes; reference is 3840x2160) ---
+    image_height: int = 2160
+    image_width: int = 3840
+
+    def replace(self, **kw) -> "FTPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class ForceConfig:
+    """Force-sensor configuration (``force_sensor.py:33-44``,
+    ``height_to_force.py:57-63``)."""
+
+    grating_pitch_mm: float = 2.0
+    depth_eps_mm: float = 0.01
+    override_mm_per_px: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class TempConfig:
+    """Temperature-sensor configuration (``temperature_sensor.py:32-98``)."""
+
+    outer_circle_p1: Point = (1845, 1818)
+    outer_circle_p2: Point = (1517, 623)
+    outer_circle_p3: Point = (2687, 914)
+    use_inner_circle: bool = False
+    inner_circle_p1: Point = (1881, 1749)
+    inner_circle_p2: Point = (1579, 665)
+    inner_circle_p3: Point = (2616, 936)
+
+    crop_output_to_outer_roi: bool = True
+    crop_pad_px: int = 10
+
+    blur_ksize: int = 5
+
+    color_t_min: float = 20.0
+    color_t_max: float = 33.0
+    color_guard_band: float = 0.5
+    switch_margin_c: float = 1.0
+    final_t_min: float = 20.0
+    final_t_max: float = 75.0
+
+    seg_band_radius: float = 22.0
+    seg_dc_exclusion: int = 28
+    seg_force_right_half_plane: bool = True
+    seg_prefer_peak_near_center_row: bool = True
+    seg_peak_max_dy_from_center: float = 0.14
+    seg_illum_sigma: float = 20.0
+    seg_n_peaks: int = 16
+
+    sat_thresh_gray: int = 245
+    sat_dilate_ksize: int = 13
+
+    post_close_kx: int = 3
+    post_close_ky: int = 31
+    post_open_kx: int = 3
+    post_open_ky: int = 7
+
+    color_chroma_min: float = 10.0
+    color_support_dilate: int = 3
+
+    final_smooth_enable: bool = True
+    final_smooth_sigma_across: float = 6.0
+    final_smooth_sigma_along: float = 1.0
+
+    wide_inpaint_radius: int = 7
+    color_inpaint_radius: int = 5
+
+    image_height: int = 2160
+    image_width: int = 3840
+
+    def replace(self, **kw) -> "TempConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class SessionConfig:
+    """Multimodal session-runner configuration (``multimodal_sensor.py:34-49``)."""
+
+    output_root: str = "./Multimodal_Sensor/run_output"
+    save_summary_figures: bool = True
+    export_heightmaps: bool = True
+    show_3d_interactive: bool = False
+
+
+# Reference calibration-artifact default locations (relative to a data root),
+# matching the reference repo layout (SURVEY.md §2.2).
+PHASE_TO_HEIGHT_JSON = "Force/Phase_to_height/calibration_out/calibration_model.json"
+HEIGHT_TO_FORCE_JSON = "Force/Height_to_force/calibration_out/calibration_model.json"
+TEMP_COLOR_METRICS_JSON = "Temperature/Colored_Model/calibration_out/models_final_summary_metrics.json"
+TEMP_BLACK_METRICS_JSON = "Temperature/MixedColorBlack_Model/calibration_out/models_final_summary_metrics.json"
+TEMP_COLOR_MODEL_GLOB = "Temperature/Colored_Model/calibration_out/color_model_global_huber_deg*.joblib"
+TEMP_WIDE_MODEL_GLOB = "Temperature/MixedColorBlack_Model/calibration_out/black_model_global_huber_deg*.joblib"

@@ -1,0 +1,96 @@
+"""Euclidean distance transform via jump flooding — O(log n) passes, all
+vector ops, no sequential scans.
+
+The reference uses cv2.distanceTransform(DIST_L2, maskSize=3), a two-pass
+*chamfer approximation* (weights 0.955/1.3693) that is inherently serial.
+Jump flooding computes the (near-)exact Euclidean distance with ~log2(max(h,w))
+rounds of 8 shifted comparisons, which maps cleanly onto the VPU.  The exact
+EDT is pointwise >= accurate than the chamfer approximation; all consumers
+(distance erosion ``shape_ftp.py:721-726``, frontier tapers
+``shape_ftp.py:1287-1324``, hole-edge margin ``shape_ftp.py:1172``) use it
+through thresholds/ratios where the <2% chamfer discrepancy was noise.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_FAR = jnp.int32(1 << 20)
+
+
+def _shift2(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Shift a (H, W, C) array so out[i, j] = a[i + dy, j + dx]; out-of-range
+    entries get ``fill`` (no wraparound)."""
+    h, w = a.shape[:2]
+    out = a
+    if dy > 0:
+        out = jnp.concatenate([out[dy:], jnp.full_like(out[:dy], fill)], axis=0)
+    elif dy < 0:
+        out = jnp.concatenate([jnp.full_like(out[dy:], fill), out[:dy]], axis=0)
+    if dx > 0:
+        out = jnp.concatenate([out[:, dx:], jnp.full_like(out[:, :dx], fill)], axis=1)
+    elif dx < 0:
+        out = jnp.concatenate([jnp.full_like(out[:, dx:], fill), out[:, :dx]], axis=1)
+    return out
+
+
+@jax.jit
+def distance_transform_edt(mask: jnp.ndarray) -> jnp.ndarray:
+    """For each True pixel, Euclidean distance to the nearest False pixel
+    (cv2.distanceTransform semantics: nonzero -> distance to nearest zero).
+
+    Returns float32; 0 on False pixels.
+    """
+    h, w = mask.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # Seeds are the False pixels; each pixel tracks its current-best seed coords.
+    seed = ~mask
+    ny = jnp.where(seed, yy, _FAR)
+    nx = jnp.where(seed, xx, _FAR)
+
+    def dist2(ny, nx):
+        dy = (yy - ny).astype(jnp.float32)
+        dx = (xx - nx).astype(jnp.float32)
+        d = dy * dy + dx * dx
+        return jnp.where(ny >= _FAR, jnp.float32(3e38), d)
+
+    coords = jnp.stack([ny, nx], axis=-1)
+
+    step = 1
+    size = max(h, w)
+    steps = []
+    while step < size:
+        step *= 2
+    while step >= 1:
+        steps.append(step)
+        step //= 2
+    steps.append(1)  # extra k=1 pass (JFA+1) kills most propagation errors
+
+    best = coords
+    bestd = dist2(best[..., 0], best[..., 1])
+    for k in steps:
+        for dy in (-k, 0, k):
+            for dx in (-k, 0, k):
+                if dy == 0 and dx == 0:
+                    continue
+                cand = _shift2(best, dy, dx, _FAR)
+                candd = dist2(cand[..., 0], cand[..., 1])
+                take = candd < bestd
+                best = jnp.where(take[..., None], cand, best)
+                bestd = jnp.where(take, candd, bestd)
+
+    d = jnp.sqrt(bestd)
+    d = jnp.where(mask, d, 0.0)
+    return d.astype(jnp.float32)
+
+
+def erode_by_distance(mask: jnp.ndarray, margin_px: float) -> jnp.ndarray:
+    """Keep pixels deeper than ``margin_px`` from the mask boundary
+    (``shape_ftp.py:721-726``)."""
+    if margin_px <= 0:
+        return mask
+    dist = distance_transform_edt(mask)
+    return (dist > float(margin_px)) & mask

@@ -1,0 +1,140 @@
+"""Binary/grayscale morphology as windowed max/min reductions.
+
+Footprints (OpenCV-style ellipse/rect structuring elements) are static
+constants; dilation decomposes into one horizontal max-pool per footprint row
+plus a vertical shift-max — O(k) reduce_windows instead of O(k^2) shifts,
+all fully vectorized on the VPU.
+
+Reference usages: ``shape_ftp.py:641-647`` (bad-pixel dilate),
+``shape_ftp.py:755-761`` (reliable close), ``shape_ftp.py:1734-1736``
+(contact dilate), ``temperature_sensor.py:378-405`` (saturation/stripe masks).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = -3.0e38
+_POS = 3.0e38
+
+
+def ellipse_kernel(kh: int, kw: int) -> np.ndarray:
+    """OpenCV cv2.getStructuringElement(MORPH_ELLIPSE, (kw, kh)) footprint.
+
+    Reimplements OpenCV's discrete inscribed-ellipse rule so the footprint is
+    bit-identical without calling into cv2.
+    """
+    r = kh // 2
+    c = kw // 2
+    inv_r2 = 1.0 / (r * r) if r > 0 else 0.0
+    el = np.zeros((kh, kw), dtype=bool)
+    for i in range(kh):
+        j1, j2 = 0, 0
+        dy = i - r
+        if abs(dy) <= r:
+            if r == 0:
+                dx = c
+            else:
+                dx = int(round(c * np.sqrt(max(0.0, (r * r - dy * dy) * inv_r2))))
+            j1 = max(c - dx, 0)
+            j2 = min(c + dx + 1, kw)
+            el[i, j1:j2] = True
+    return el
+
+
+def rect_kernel(kh: int, kw: int) -> np.ndarray:
+    return np.ones((kh, kw), dtype=bool)
+
+
+def _row_segments(footprint: np.ndarray) -> Tuple[Tuple[int, int, int], ...]:
+    """Decompose a footprint into (dy, c0, c1) horizontal segments relative to
+    the anchor (center).  Requires each row to be a single contiguous run
+    (true for ellipse and rect kernels)."""
+    kh, kw = footprint.shape
+    ay, ax = kh // 2, kw // 2
+    segs = []
+    for i in range(kh):
+        cols = np.where(footprint[i])[0]
+        if cols.size == 0:
+            continue
+        c0, c1 = int(cols.min()), int(cols.max())
+        if not footprint[i, c0:c1 + 1].all():
+            raise ValueError("footprint rows must be contiguous runs")
+        segs.append((i - ay, c0 - ax, c1 - ax))
+    return tuple(segs)
+
+
+def _hmax(x: jnp.ndarray, c0: int, c1: int, init: float) -> jnp.ndarray:
+    """out[i, j] = reduce over x[i, j+c0 .. j+c1]."""
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max if init == _NEG else jax.lax.min,
+        window_dimensions=(1, c1 - c0 + 1), window_strides=(1, 1),
+        padding=((0, 0), (-c0, c1)))
+
+
+def _vshift(x: jnp.ndarray, dy: int, fill: float) -> jnp.ndarray:
+    """Shift rows so out[i] = x[i + dy], padding with fill."""
+    h = x.shape[0]
+    if dy == 0:
+        return x
+    if dy > 0:
+        return jnp.concatenate([x[dy:], jnp.full((dy,) + x.shape[1:], fill, x.dtype)], axis=0)
+    return jnp.concatenate([jnp.full((-dy,) + x.shape[1:], fill, x.dtype), x[:dy]], axis=0)
+
+
+def _morph(x: jnp.ndarray, footprint: np.ndarray, is_dilate: bool) -> jnp.ndarray:
+    init = _NEG if is_dilate else _POS
+    red = jnp.maximum if is_dilate else jnp.minimum
+    xf = x.astype(jnp.float32)
+    segs = _row_segments(footprint)
+    out = jnp.full_like(xf, init)
+    for dy, c0, c1 in segs:
+        h = _hmax(xf, c0, c1, init)
+        out = red(out, _vshift(h, dy, init))
+    return out
+
+
+def dilate(mask: jnp.ndarray, footprint: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """cv2.dilate on a boolean mask (default border: ignores outside)."""
+    x = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        x = _morph(x, footprint, True)
+    return x > 0.5
+
+
+def erode(mask: jnp.ndarray, footprint: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    x = mask.astype(jnp.float32)
+    for _ in range(iterations):
+        x = _morph(x, footprint, False)
+    return x > 0.5
+
+
+def close(mask: jnp.ndarray, footprint: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """cv2.morphologyEx(MORPH_CLOSE): iterations means (dilate^n then erode^n)."""
+    m = dilate(mask, footprint, iterations)
+    return erode(m, footprint, iterations)
+
+def open_(mask: jnp.ndarray, footprint: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    m = erode(mask, footprint, iterations)
+    return dilate(m, footprint, iterations)
+
+
+def gray_dilate(x: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
+    return _morph(x, footprint, True)
+
+
+def gray_erode(x: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
+    return _morph(x, footprint, False)
+
+
+def dilate_disk_px(mask: jnp.ndarray, px: int) -> jnp.ndarray:
+    """Reference's ``dilate_mask`` helper: ellipse kernel of size 2*px+1
+    (``shape_ftp.py:729-736``)."""
+    if px is None or px <= 0:
+        return mask
+    ksz = int(max(3, 2 * int(px) + 1))
+    return dilate(mask, ellipse_kernel(ksz, ksz))

@@ -1,0 +1,204 @@
+"""Image registration: windowed phase correlation and ECC photometric
+alignment, both as fixed-shape jitted graphs.
+
+Phase correlation reproduces cv2.phaseCorrelate (Hann window, cross-power
+spectrum, 5x5 weighted-centroid subpixel peak) — ``shape_ftp.py:529-535``.
+
+ECC reproduces cv2.findTransformECC's enhanced-correlation-coefficient
+Gauss–Newton iteration (Evangelidis & Psarakis) for translation / euclidean /
+affine warps with an input mask — ``shape_ftp.py:549-578``.  The serial
+"iterate until eps" loop becomes a ``lax.while_loop`` with the same
+termination rule (|rho - last_rho| < eps or max iters).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vistaf_tpu.ops.warp import sample_bilinear
+
+
+# ---------------------------------------------------------------------------
+# Phase correlation
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def phase_correlate(src1: jnp.ndarray, src2: jnp.ndarray,
+                    window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """cv2.phaseCorrelate equivalent.
+
+    Returns (dx, dy, response): the translation of ``src1`` relative to
+    ``src2`` (so translating src2 by (+dx, +dy) aligns it with src1).
+    """
+    h, w = src1.shape
+    a = src1.astype(jnp.float32) * window
+    b = src2.astype(jnp.float32) * window
+
+    Fa = jnp.fft.fft2(a)
+    Fb = jnp.fft.fft2(b)
+    P = Fa * jnp.conj(Fb)
+    P = P / jnp.maximum(jnp.abs(P), 1e-20)
+    C = jnp.real(jnp.fft.ifft2(P))
+    C = jnp.fft.fftshift(C)
+
+    peak = jnp.argmax(C)
+    py = (peak // w).astype(jnp.int32)
+    px = (peak % w).astype(jnp.int32)
+
+    # 5x5 weighted centroid around the peak (cv2 weightedCentroid)
+    offs = jnp.arange(-2, 3)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    ys = jnp.clip(py + oy, 0, h - 1)
+    xs = jnp.clip(px + ox, 0, w - 1)
+    vals = C[ys, xs]
+    s = jnp.sum(vals)
+    cy = jnp.sum(ys * vals) / jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
+    cx = jnp.sum(xs * vals) / jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
+
+    center_x = w / 2.0
+    center_y = h / 2.0
+    dx = center_x - cx
+    dy = center_y - cy
+    response = s / (h * w)
+    return dx, dy, response
+
+
+# ---------------------------------------------------------------------------
+# ECC alignment
+# ---------------------------------------------------------------------------
+
+_MODES = {"translation": 2, "euclidean": 3, "affine": 6}
+
+
+def _warp_coords(mode: str, p: jnp.ndarray, xx: jnp.ndarray, yy: jnp.ndarray):
+    if mode == "translation":
+        return xx + p[0], yy + p[1]
+    if mode == "euclidean":
+        c, s = jnp.cos(p[0]), jnp.sin(p[0])
+        return c * xx - s * yy + p[1], s * xx + c * yy + p[2]
+    # affine: p = [a00-1? ...] use direct entries: sx = (1+p0)x + p2 y + p4 ...
+    sx = (1.0 + p[0]) * xx + p[2] * yy + p[4]
+    sy = p[1] * xx + (1.0 + p[3]) * yy + p[5]
+    return sx, sy
+
+
+def _warp_matrix(mode: str, p: jnp.ndarray) -> jnp.ndarray:
+    if mode == "translation":
+        return jnp.array([[1.0, 0.0, p[0]], [0.0, 1.0, p[1]]], jnp.float32)
+    if mode == "euclidean":
+        c, s = jnp.cos(p[0]), jnp.sin(p[0])
+        return jnp.array([[c, -s, p[1]], [s, c, p[2]]], jnp.float32)
+    return jnp.array([[1.0 + p[0], p[2], p[4]], [p[1], 1.0 + p[3], p[5]]], jnp.float32)
+
+
+def _steepest_descent(mode: str, p: jnp.ndarray, xx, yy, gxw, gyw):
+    """Steepest-descent images G_k = gx * dWx/dp_k + gy * dWy/dp_k."""
+    if mode == "translation":
+        return [gxw, gyw]
+    if mode == "euclidean":
+        c, s = jnp.cos(p[0]), jnp.sin(p[0])
+        dwx_dth = -s * xx - c * yy
+        dwy_dth = c * xx - s * yy
+        return [gxw * dwx_dth + gyw * dwy_dth, gxw, gyw]
+    return [gxw * xx, gyw * xx, gxw * yy, gyw * yy, gxw, gyw]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "max_iters"))
+def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
+              mask: jnp.ndarray, mode: str = "euclidean",
+              max_iters: int = 300, eps: float = 1e-7):
+    """Find warp p maximizing the enhanced correlation coefficient between
+    ``template`` and ``image`` sampled at W(x; p).
+
+    Inputs are float images (already normalized/blurred by the caller, as the
+    reference does at ``shape_ftp.py:553-558``).  ``mask`` bounds the valid
+    template region; it is warped alongside the image every iteration (cv2
+    semantics).  Returns (warp_2x3, rho, n_iters).
+    """
+    n_params = _MODES[mode]
+    h, w = template.shape
+    T = template.astype(jnp.float32)
+    I = image.astype(jnp.float32)
+    M01 = mask.astype(jnp.float32)
+
+    # image gradients (central differences, cv2-style 0.5*(I[x+1]-I[x-1]))
+    gx = jnp.zeros_like(I).at[:, 1:-1].set(0.5 * (I[:, 2:] - I[:, :-2]))
+    gy = jnp.zeros_like(I).at[1:-1, :].set(0.5 * (I[2:, :] - I[:-2, :]))
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    p0 = jnp.zeros((n_params,), jnp.float32)
+
+    def body(state):
+        p, last_rho, rho, it = state
+        sx, sy = _warp_coords(mode, p, xx, yy)
+        iw = sample_bilinear(I, sy, sx, border="constant0")
+        gxw = sample_bilinear(gx, sy, sx, border="constant0")
+        gyw = sample_bilinear(gy, sy, sx, border="constant0")
+        mw = sample_bilinear(M01, sy, sx, border="constant0") > 0.95
+
+        n = jnp.maximum(jnp.sum(mw.astype(jnp.float32)), 1.0)
+        t_mean = jnp.sum(jnp.where(mw, T, 0.0)) / n
+        i_mean = jnp.sum(jnp.where(mw, iw, 0.0)) / n
+        tz = jnp.where(mw, T - t_mean, 0.0)
+        iz = jnp.where(mw, iw - i_mean, 0.0)
+        gxm = jnp.where(mw, gxw, 0.0)
+        gym = jnp.where(mw, gyw, 0.0)
+
+        G = _steepest_descent(mode, p, xx, yy, gxm, gym)
+        G = jnp.stack([g.ravel() for g in G], axis=1)  # (N, P)
+
+        H = G.T @ G
+        Hinv = jnp.linalg.inv(H + 1e-12 * jnp.eye(n_params))
+        Gt = G.T @ tz.ravel()
+        Gi = G.T @ iz.ravel()
+
+        corr = jnp.vdot(tz, iz)
+        inorm2 = jnp.vdot(iz, iz)
+        tnorm = jnp.sqrt(jnp.vdot(tz, tz))
+
+        v1 = Hinv @ Gi
+        lam_num = inorm2 - Gi @ v1
+        lam_den = corr - Gt @ v1
+        lam = lam_num / jnp.where(jnp.abs(lam_den) < 1e-12, 1e-12, lam_den)
+
+        err = lam * tz - iz
+        Ge = G.T @ err.ravel()
+        dp = Hinv @ Ge
+        p_new = p + dp
+
+        new_rho = corr / jnp.maximum(tnorm * jnp.sqrt(inorm2), 1e-12)
+        # diverging lambda denominator => freeze (cv2 raises; we hold position)
+        p_new = jnp.where(lam_den > 0, p_new, p)
+        return p_new, rho, new_rho, it + 1
+
+    def cond(state):
+        p, last_rho, rho, it = state
+        return (it < max_iters) & (jnp.abs(rho - last_rho) >= eps)
+
+    state = (p0, jnp.float32(-2.0), jnp.float32(-1.0), jnp.int32(0))
+    p, _, rho, it = jax.lax.while_loop(cond, body, state)
+    return _warp_matrix(mode, p), rho, it
+
+
+def ecc_align_and_warp(ref: jnp.ndarray, mov: jnp.ndarray, mask: jnp.ndarray,
+                       mode: str = "euclidean", max_iters: int = 300,
+                       eps: float = 1e-7, gauss_filt: float = 5.0):
+    """Reference ``align_crop_ecc`` (``shape_ftp.py:549-578``): normalize to
+    [0,1], optional pre-blur, ECC, then warp the moving image with the inverse
+    map and reflect border."""
+    from vistaf_tpu.ops.filters import gaussian_blur
+    from vistaf_tpu.ops.warp import warp_affine_inverse_map
+
+    r = ref.astype(jnp.float32) / 255.0
+    m = mov.astype(jnp.float32) / 255.0
+    if gauss_filt and gauss_filt > 0:
+        r = gaussian_blur(r, gauss_filt)
+        m = gaussian_blur(m, gauss_filt)
+    warp, rho, it = ecc_align(r, m, mask, mode=mode, max_iters=max_iters, eps=eps)
+    aligned = warp_affine_inverse_map(mov.astype(jnp.float32), warp, border="reflect")
+    return aligned, warp, rho

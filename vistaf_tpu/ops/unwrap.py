@@ -1,0 +1,109 @@
+"""Masked 2-D phase unwrapping as a weighted least-squares solve.
+
+The reference uses a serial quality-guided flood fill over a heapq — a pure
+Python O(N log N) loop and the single slowest stage of the whole pipeline
+(``shape_ftp.py:1043-1080``, SURVEY.md §3.2 ♨♨).  That algorithm cannot map
+to TPU; we substitute the classical weighted least-squares formulation
+(Ghiglia & Pritt): find φ minimizing Σ w ( Δφ − W(Δψ) )² over both axes,
+solved by preconditioned conjugate gradients with a DCT-based Poisson
+preconditioner.  For the smooth phase fields this sensor produces, the two
+methods agree up to terms absorbed by the downstream polynomial detrend
+(``shape_ftp.py:1708-1751``); see tests/test_unwrap.py.
+
+Fully parallel: each CG iteration is two DCTs + stencils.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.fft import dctn, idctn
+
+
+def wrap_angle(x: jnp.ndarray) -> jnp.ndarray:
+    """Wrap to (-pi, pi]  (equivalent of angle(exp(i x)))."""
+    return jnp.angle(jnp.exp(1j * x)).astype(jnp.float32)
+
+
+def _poisson_dct_solve(rho: jnp.ndarray) -> jnp.ndarray:
+    """Solve the Neumann Poisson equation Laplacian(phi) = rho via DCT-II."""
+    h, w = rho.shape
+    r = dctn(rho, type=2, norm="ortho")
+    ky = jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / h
+    kx = jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / w
+    denom = 2.0 * (jnp.cos(ky) - 1.0) + 2.0 * (jnp.cos(kx) - 1.0)
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    out = r / denom
+    out = out.at[0, 0].set(0.0)
+    return idctn(out, type=2, norm="ortho")
+
+
+def _apply_wlap(phi: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """A(phi) = divergence of weighted forward-difference gradients."""
+    dx = phi[:, 1:] - phi[:, :-1]
+    dy = phi[1:, :] - phi[:-1, :]
+    fx = wx * dx
+    fy = wy * dy
+    out = jnp.zeros_like(phi)
+    out = out.at[:, :-1].add(fx)
+    out = out.at[:, 1:].add(-fx)
+    out = out.at[:-1, :].add(fy)
+    out = out.at[1:, :].add(-fy)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cg_iters",))
+def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
+               cg_iters: int = 30, tol: float = 1e-8) -> jnp.ndarray:
+    """Weighted least-squares unwrap of ``wrapped`` over ``mask``.
+
+    Outside the mask the weights are zero, so those pixels do not constrain
+    the solution.  The result is anchored so its masked mean equals the
+    masked mean of the wrapped input (gauge fixing; the caller detrends and
+    re-zeros anyway).
+    """
+    psi = jnp.where(mask, wrapped, 0.0).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+
+    # per-edge binary weights: both endpoints inside the mask
+    wx = m[:, 1:] * m[:, :-1]
+    wy = m[1:, :] * m[:-1, :]
+
+    dx = wrap_angle(psi[:, 1:] - psi[:, :-1]) * wx
+    dy = wrap_angle(psi[1:, :] - psi[:-1, :]) * wy
+
+    rhs = jnp.zeros_like(psi)
+    rhs = rhs.at[:, :-1].add(dx)
+    rhs = rhs.at[:, 1:].add(-dx)
+    rhs = rhs.at[:-1, :].add(dy)
+    rhs = rhs.at[1:, :].add(-dy)
+
+    # PCG with DCT-Poisson preconditioner (Ghiglia & Romero)
+    phi0 = jnp.zeros_like(psi)
+    r0 = rhs - _apply_wlap(phi0, wx, wy)
+    z0 = _poisson_dct_solve(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def body(_, state):
+        phi, r, p, rz = state
+        Ap = _apply_wlap(p, wx, wy)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        phi = phi + alpha * p
+        r = r - alpha * Ap
+        z = _poisson_dct_solve(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return phi, r, p, rz_new
+
+    phi, r, _, _ = jax.lax.fori_loop(0, cg_iters, body, (phi0, r0, p0, rz0))
+
+    # gauge: congruence with the wrapped input on the masked mean
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean_shift = jnp.sum((psi - phi) * m) / n
+    phi = phi + mean_shift
+
+    return jnp.where(mask, phi, jnp.nan).astype(jnp.float32)
