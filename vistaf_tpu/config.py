@@ -125,6 +125,12 @@ class FTPConfig:
     unwrap_cg_iters: int = 30
     unwrap_cg_tol: float = 1e-8
 
+    # --- TPU numerics knobs (no reference equivalent) ---
+    # 'sort' = exact NumPy-faithful percentiles; 'hist' = histogram
+    # refinement (faster on TPU, error << any pipeline threshold noise)
+    percentile_method: str = "sort"
+    inpaint_iters: int = 64
+
     # --- Image geometry (static shapes; reference is 3840x2160) ---
     image_height: int = 2160
     image_width: int = 3840

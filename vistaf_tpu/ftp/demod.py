@@ -1,0 +1,150 @@
+"""FTP complex demodulation: preprocess -> FFT -> sideband isolation -> ifft.
+
+TPU re-design of ``shape_ftp.ftp_complex_demod`` (``shape_ftp.py:810-1037``):
+
+- glare repair: percentile-thresholded bad-pixel mask + diffusion inpaint
+  (replaces cv2 Telea, ``shape_ftp.py:625-666``);
+- illumination normalization I/blur(sigma=45) - 1, pre-blur sigma=1.5,
+  circular apodization, masked-median DC removal;
+- reflect pad, fft2, carrier selection (top-k + heuristics + parabolic log
+  refinement) or carrier lock to the reference frame;
+- patch-shift sideband isolation: Hann-windowed (2*bw+1)^2-bin patch moved to
+  DC via dynamic_slice/dynamic_update_slice + fractional-bin phase ramp
+  (``shape_ftp.py:929-964``), or truncated-Gaussian bandpass alternative
+  (``shape_ftp.py:966-988``).
+
+All shapes static; the data-dependent carrier position flows through
+dynamic_slice starts only.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vistaf_tpu.config import FTPConfig
+from vistaf_tpu.ops import fftops
+from vistaf_tpu.ops.filters import gaussian_blur, gradient_magnitude, hann_patch
+from vistaf_tpu.ops.inpaint import inpaint_diffusion
+from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
+from vistaf_tpu.ops.percentile import get_percentile_fn, masked_median
+
+
+class DemodResult(NamedTuple):
+    complex_demod: jnp.ndarray      # (h, w) complex64, carrier removed
+    amp: jnp.ndarray                # (h, w) float32 |complex_demod|
+    peak_f: jnp.ndarray             # (2,) float32 refined peak (x, y) in bins
+    k: jnp.ndarray                  # (2,) float32 carrier offset from DC (kx, ky)
+    fft_shape: Tuple[int, int]      # static (hf, wf)
+    i_norm: jnp.ndarray             # (h, w) float32 normalized image (debug)
+
+
+def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bad-pixel repair + illumination normalization + apodization.
+
+    Returns (windowed image ready for FFT padding, I_norm)."""
+    img = gray.astype(jnp.float32)
+    valid = (apo > 1e-6) if apo is not None else jnp.ones_like(img, dtype=bool)
+
+    if cfg.bad_pixel_enable:
+        pctl = get_percentile_fn(cfg.percentile_method)
+        hi_thr = pctl(img, valid, cfg.bad_intensity_percentile)
+        grad = gradient_magnitude(img)
+        g_thr = pctl(grad, valid, cfg.bad_gradient_percentile)
+        bad = ((img >= hi_thr) | (grad >= g_thr)) & valid
+        if cfg.bad_dilate_ksize and cfg.bad_dilate_ksize > 1:
+            ksz = max(3, cfg.bad_dilate_ksize | 1)
+            bad = dilate(bad, ellipse_kernel(ksz, ksz), iterations=cfg.bad_dilate_iters)
+        img = inpaint_diffusion(img, bad, iters=cfg.inpaint_iters)
+
+    blur = gaussian_blur(img, cfg.illum_sigma_px)
+    i_norm = img / (blur + 1e-6) - 1.0
+
+    if cfg.pre_blur_sigma_px and cfg.pre_blur_sigma_px > 0:
+        i_norm = gaussian_blur(i_norm, cfg.pre_blur_sigma_px)
+
+    iw = i_norm
+    if apo is not None:
+        iw = iw * apo
+
+    if cfg.remove_mean_after_apod:
+        mu = masked_median(iw, valid if apo is not None else None)
+        iw = iw - mu
+
+    if cfg.use_hann_window:
+        h0, w0 = iw.shape
+        iw = iw * jnp.asarray(hann_patch(h0, w0))
+
+    return iw, i_norm
+
+
+def ftp_complex_demod(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig,
+                      carrier_refined: Optional[jnp.ndarray] = None) -> DemodResult:
+    """Demodulate one frame.  With ``carrier_refined`` given, the carrier is
+    locked to that (x, y) float bin position (LOCK_CARRIER_TO_REFERENCE,
+    ``shape_ftp.py:891-894``); otherwise it is searched and refined."""
+    h, w = gray.shape
+    iw, i_norm = _preprocess(gray, apo, cfg)
+
+    pad = int(max(0, cfg.fft_pad_px))
+    iw_fft = fftops.reflect_pad(iw, pad) if pad > 0 else iw
+    hf, wf = iw_fft.shape
+    cy, cx = hf // 2, wf // 2
+
+    F_shift, fft_mag = fftops.fft2_shifted_mag(iw_fft)
+
+    if carrier_refined is None:
+        xs, ys, mags = fftops.find_top_peaks(fft_mag, cfg.dc_exclusion, cfg.n_fft_peaks)
+        px, py = fftops.choose_carrier_peak(
+            xs, ys, mags, hf, wf,
+            force_right_half_plane=cfg.force_right_half_plane,
+            prefer_near_center_row=cfg.prefer_peak_near_center_row,
+            peak_max_dy_frac=cfg.peak_max_dy_from_center)
+        fx, fy = fftops.refine_peak_parabolic_log(fft_mag, px, py)
+        peak_f = jnp.stack([fx, fy])
+    else:
+        peak_f = carrier_refined.astype(jnp.float32)
+
+    px_i = jnp.round(peak_f[0]).astype(jnp.int32)
+    py_i = jnp.round(peak_f[1]).astype(jnp.int32)
+
+    if cfg.sideband_method == "patch_shift":
+        bw = int(max(3, cfg.patch_half_width_bins))
+        psz = 2 * bw + 1
+        patch = jax.lax.dynamic_slice(F_shift, (py_i - bw, px_i - bw), (psz, psz))
+        if cfg.patch_window == "hann":
+            patch = patch * jnp.asarray(hann_patch(psz, psz))
+        F_demod_shift = jnp.zeros_like(F_shift)
+        cy0 = cy - psz // 2
+        cx0 = cx - psz // 2
+        F_demod_shift = jax.lax.dynamic_update_slice(F_demod_shift, patch, (cy0, cx0))
+        complex_field = jnp.fft.ifft2(jnp.fft.ifftshift(F_demod_shift))
+        dpx = peak_f[0] - px_i.astype(jnp.float32)
+        dpy = peak_f[1] - py_i.astype(jnp.float32)
+        complex_field = complex_field * fftops.frac_ramp(hf, wf, dpx, dpy, sign=-1.0)
+        complex_demod_full = complex_field
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 1)
+        dist2_peak = (xx - peak_f[0]) ** 2 + (yy - peak_f[1]) ** 2
+        dist2_dc = (xx - cx) ** 2 + (yy - cy) ** 2
+        sigma = max(1e-6, float(cfg.band_radius))
+        gauss = jnp.exp(-0.5 * dist2_peak / (sigma * sigma))
+        rcut = max(3.0, float(cfg.gauss_trunc_radius))
+        gauss = gauss * (dist2_peak <= rcut * rcut)
+        gauss = jnp.where(dist2_dc <= float(cfg.dc_exclusion) ** 2, 0.0, gauss)
+        complex_field = jnp.fft.ifft2(jnp.fft.ifftshift(F_shift * gauss))
+        kx = peak_f[0] - cx
+        ky = peak_f[1] - cy
+        complex_demod_full = complex_field * fftops.frac_ramp(hf, wf, kx, ky, sign=-1.0)
+
+    if pad > 0:
+        complex_demod = complex_demod_full[pad:pad + h, pad:pad + w]
+    else:
+        complex_demod = complex_demod_full
+
+    amp = jnp.abs(complex_demod).astype(jnp.float32)
+    k = jnp.stack([peak_f[0] - cx, peak_f[1] - cy])
+    return DemodResult(complex_demod, amp, peak_f, k, (hf, wf), i_norm)

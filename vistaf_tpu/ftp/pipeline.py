@@ -1,0 +1,349 @@
+"""Full FTP forward pass: frame pair -> calibrated mm depth map.
+
+One jitted graph reproducing ``shape_ftp.main`` (``shape_ftp.py:1428-2039``,
+SURVEY.md §3.2) with the TPU algorithm substitutions documented per-op:
+
+  stage                       reference                    here
+  -------------------------   --------------------------   ----------------------
+  global shift                cv2.phaseCorrelate           ops.registration
+  crop alignment              cv2.findTransformECC         ops.registration (ECC GN)
+  demodulation                numpy FFT + loops            ftp.demod (jitted)
+  reliable mask               cv2 morphology/CC            ops.morphology/components
+  phase unwrap                serial heapq flood fill      ops.unwrap (WLS-DCT-PCG)
+  detrend                     numpy lstsq IRLS             ops.polyfit
+  tapers / distance fields    cv2.distanceTransform        ops.distance (JFA EDT)
+  blob filter                 cv2.connectedComponents      ops.components
+  mm conversion               scalar model zoo             calib.scalar_models
+
+Geometry (fixed 3-point ROI circle) is resolved host-side so every array in
+the graph has a static shape.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vistaf_tpu.calib import scalar_models
+from vistaf_tpu.config import FTPConfig
+from vistaf_tpu.ftp.demod import ftp_complex_demod
+from vistaf_tpu.ops import geometry
+from vistaf_tpu.ops.color import bgr_to_gray
+from vistaf_tpu.ops.components import filter_components_by_peak, largest_component
+from vistaf_tpu.ops.distance import distance_transform_edt, erode_by_distance
+from vistaf_tpu.ops.filters import gaussian_blur, hanning_window, masked_gaussian_smooth
+from vistaf_tpu.ops.morphology import close as morph_close
+from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
+from vistaf_tpu.ops.percentile import get_percentile_fn, masked_max, masked_median
+from vistaf_tpu.ops.polyfit import robust_polyfit2d
+from vistaf_tpu.ops.registration import ecc_align, phase_correlate
+from vistaf_tpu.ops.unwrap import unwrap_wls
+from vistaf_tpu.ops.warp import warp_affine_forward, warp_affine_inverse_map
+
+
+@dataclass(frozen=True)
+class FTPGeometry:
+    """Static crop/ROI geometry resolved from an FTPConfig on the host."""
+    cx_full: int
+    cy_full: int
+    r_full: int
+    bbox: tuple          # (x1, x2, y1, y2)
+    cx_local: int
+    cy_local: int
+    r_local: int
+    crop_h: int
+    crop_w: int
+
+    @staticmethod
+    def from_config(cfg: FTPConfig) -> "FTPGeometry":
+        cx, cy, r = geometry.circle_from_3_points(
+            cfg.outer_circle_p1, cfg.outer_circle_p2, cfg.outer_circle_p3)
+        bbox = geometry.roi_crop_bbox(cx, cy, r, cfg.image_height, cfg.image_width)
+        cxl, cyl, rl = geometry.local_circle(cx, cy, r, bbox)
+        x1, x2, y1, y2 = bbox
+        return FTPGeometry(cx, cy, r, bbox, cxl, cyl, rl, y2 - y1, x2 - x1)
+
+
+def _smoothstep(t: jnp.ndarray) -> jnp.ndarray:
+    t = jnp.clip(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _curve01(t: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Frontier transition curves (``shape_ftp.py:1277-1284``)."""
+    t = jnp.clip(t, 0.0, 1.0)
+    if kind == "linear":
+        return t
+    if kind == "cosine":
+        return 0.5 - 0.5 * jnp.cos(jnp.pi * t)
+    return _smoothstep(t)
+
+
+class FTPPipeline:
+    """Host wrapper owning static geometry + calibration and the jitted core.
+
+    Usage::
+
+        pipe = FTPPipeline(cfg, p2h_model, use_negated_height)
+        out = pipe(ref_bgr_u8, def_bgr_u8)   # dict of np arrays/scalars
+    """
+
+    def __init__(self, cfg: FTPConfig, p2h_model: Dict[str, Any],
+                 use_negated_height: bool = True, debug_outputs: bool = False):
+        self.debug_outputs = debug_outputs
+        self.cfg = cfg
+        self.geom = FTPGeometry.from_config(cfg)
+        self.p2h_model = p2h_model
+        self.use_neg = use_negated_height
+
+        g = self.geom
+        self._circ_mask = geometry.circular_mask(g.crop_h, g.crop_w, g.cx_local, g.cy_local, g.r_local)
+        r_valid = max(0, g.r_local - int(cfg.roi_erode_px))
+        self._roi_eroded = geometry.circular_mask(g.crop_h, g.crop_w, g.cx_local, g.cy_local, r_valid)
+        self._apo = (geometry.circular_apodization(
+            g.crop_h, g.crop_w, g.cx_local, g.cy_local, g.r_local, cfg.apod_taper_px)
+            if cfg.use_circular_apodization else None)
+        self._hann_full = hanning_window(cfg.image_height, cfg.image_width)
+
+        self._forward = jax.jit(self._forward_impl)
+
+    # ------------------------------------------------------------------
+    def __call__(self, ref_bgr: np.ndarray, def_bgr: np.ndarray) -> Dict[str, Any]:
+        out = self._forward(jnp.asarray(ref_bgr), jnp.asarray(def_bgr))
+        res = {k: np.asarray(v) for k, v in out.items()}
+        res["roi_eroded_crop"] = np.asarray(self._roi_eroded)
+        res["circ_mask_crop"] = np.asarray(self._circ_mask)
+        res["crop_bbox"] = self.geom.bbox
+        res["estimated_grating_period_px"] = float(res.pop("est_period_px"))
+        return res
+
+    def forward_device(self, ref_bgr, def_bgr):
+        """Raw jitted forward returning device arrays (for benchmarking /
+        composition into larger graphs)."""
+        return self._forward(ref_bgr, def_bgr)
+
+    # ------------------------------------------------------------------
+    def _forward_impl(self, ref_bgr: jnp.ndarray, def_bgr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        g = self.geom
+        x1, x2, y1, y2 = g.bbox
+        pctl = get_percentile_fn(cfg.percentile_method)
+
+        circ = jnp.asarray(self._circ_mask)
+        roi = jnp.asarray(self._roi_eroded)
+        apo = jnp.asarray(self._apo) if self._apo is not None else None
+
+        ref_gray_full = bgr_to_gray(ref_bgr)
+        def_gray_full = bgr_to_gray(def_bgr)
+
+        # --- global shift via windowed phase correlation (shape_ftp.py:1486-1492)
+        if cfg.apply_global_shift:
+            rb = gaussian_blur(ref_gray_full, cfg.global_shift_blur_sigma)
+            db = gaussian_blur(def_gray_full, cfg.global_shift_blur_sigma)
+            dx, dy, _resp = phase_correlate(rb, db, jnp.asarray(self._hann_full))
+            M = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+            M = M.at[0, 2].set(dx).at[1, 2].set(dy)
+            def_gray_full = warp_affine_forward(def_gray_full, M, border="reflect")
+
+        ref_gray = ref_gray_full[y1:y2, x1:x2]
+        def_gray = def_gray_full[y1:y2, x1:x2]
+
+        # --- ECC crop alignment (shape_ftp.py:1530-1537)
+        if cfg.use_ecc_crop_alignment:
+            r01 = ref_gray / 255.0
+            m01 = def_gray / 255.0
+            if cfg.ecc_gauss_filt and cfg.ecc_gauss_filt > 0:
+                r01 = gaussian_blur(r01, cfg.ecc_gauss_filt)
+                m01 = gaussian_blur(m01, cfg.ecc_gauss_filt)
+            warp, _rho, _it = ecc_align(r01, m01, circ, mode=cfg.ecc_warp_mode,
+                                        max_iters=cfg.ecc_iters, eps=cfg.ecc_eps)
+            def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
+
+        # --- demodulation, carrier locked to the reference peak
+        dref = ftp_complex_demod(ref_gray, apo, cfg, carrier_refined=None)
+        if cfg.lock_carrier_to_reference:
+            ddef = ftp_complex_demod(def_gray, apo, cfg, carrier_refined=dref.peak_f)
+        else:
+            ddef = ftp_complex_demod(def_gray, apo, cfg, carrier_refined=None)
+
+        hf, wf = dref.fft_shape
+        h, w = ref_gray.shape
+
+        # --- reliable mask (shape_ftp.py:739-775)
+        quality = dref.amp * ddef.amp
+        if cfg.quality_smooth_sigma_px > 0:
+            quality = gaussian_blur(quality, cfg.quality_smooth_sigma_px)
+        amp_thr = pctl(quality, roi, cfg.amp_valid_percentile)
+        reliable = roi & (quality >= amp_thr) & jnp.isfinite(quality)
+        if cfg.valid_morph_close:
+            ksz = max(3, cfg.valid_close_kernel | 1)
+            reliable = morph_close(reliable, ellipse_kernel(ksz, ksz),
+                                   iterations=cfg.valid_close_iters) & roi
+        if cfg.reliable_keep_largest_cc:
+            reliable = largest_component(reliable) & roi
+        if cfg.reliable_edge_margin_px > 0:
+            reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px)
+
+        # --- wrapped phase difference + dk ramp (shape_ftp.py:1681-1689)
+        ratio = ddef.complex_demod * jnp.conj(dref.complex_demod)
+        dkx = ddef.k[0] - dref.k[0]
+        dky = ddef.k[1] - dref.k[1]
+        if cfg.apply_dk_ramp_correction and not cfg.lock_carrier_to_reference:
+            yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            ramp = jnp.exp(1j * 2.0 * jnp.pi * (dkx * xx / wf + dky * yy / hf))
+            ratio = ratio * ramp
+        phase_wrapped = jnp.angle(ratio).astype(jnp.float32)
+
+        # --- unwrap (WLS substitution for shape_ftp.py:1043-1080)
+        phase_unwrapped = unwrap_wls(phase_wrapped, reliable, cg_iters=cfg.unwrap_cg_iters)
+
+        # --- global plane removal (debug_ramp, shape_ftp.py:1417-1422)
+        if cfg.remove_global_plane_before_detrend:
+            _, fit1 = robust_polyfit2d(phase_unwrapped, reliable,
+                                       order=cfg.plane_order_for_removal,
+                                       percentile_method=cfg.percentile_method)
+            phase_unwrapped = phase_unwrapped - fit1
+
+        # --- detrend (shape_ftp.py:1708-1751)
+        if not cfg.use_two_pass_detrend:
+            _, fit = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
+                                      percentile_method=cfg.percentile_method)
+            phase_detrended = phase_unwrapped - fit
+            bg_med = masked_median(phase_detrended, reliable)
+            phase_zeroed = phase_detrended - bg_med
+            contact_d = jnp.zeros_like(reliable)
+        else:
+            _, fit0 = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
+                                       percentile_method=cfg.percentile_method)
+            abs_res = jnp.abs(phase_unwrapped - fit0)
+            thrs = pctl(abs_res, reliable, (cfg.contact_percentile, 95.0, 98.0))
+            thr, thr95, thr98 = thrs[0], thrs[1], thrs[2]
+            contact = (abs_res >= thr) & reliable & jnp.isfinite(abs_res)
+            frac = jnp.sum(contact) / jnp.maximum(jnp.sum(reliable), 1)
+            thr2 = jnp.where(frac < cfg.min_contact_frac, thr95,
+                             jnp.where(frac > cfg.max_contact_frac, thr98, thr))
+            contact = (abs_res >= thr2) & reliable & jnp.isfinite(abs_res)
+            contact_d = dilate(contact, ellipse_kernel(cfg.dilate_kernel_size, cfg.dilate_kernel_size),
+                               iterations=cfg.dilate_iters) & reliable
+            background = reliable & ~contact_d
+            bg_small = jnp.sum(background) < 0.15 * jnp.sum(reliable)
+            background = jnp.where(bg_small, reliable, background)
+            _, fit = robust_polyfit2d(phase_unwrapped, background, order=cfg.poly_order,
+                                      percentile_method=cfg.percentile_method)
+            phase_detrended = phase_unwrapped - fit
+            bg_med = masked_median(phase_detrended, background)
+            phase_zeroed = phase_detrended - bg_med
+
+        height_map = phase_zeroed
+
+        # --- reliable-only smoothing (shape_ftp.py:1755-1757)
+        if cfg.reliable_smooth_sigma_px > 0:
+            height_map = masked_gaussian_smooth(
+                height_map, reliable & jnp.isfinite(height_map), cfg.reliable_smooth_sigma_px)
+
+        # --- auto sign flip (shape_ftp.py:1759-1768)
+        if cfg.auto_flip_sign:
+            core_thr = pctl(height_map, reliable, cfg.contact_core_percentile)
+            core = reliable & jnp.isfinite(height_map) & (height_map <= core_thr)
+            med_core = masked_median(height_map, core)
+            flip = jnp.where(jnp.any(core) & (med_core > 0), -1.0, 1.0)
+            height_map = height_map * flip
+
+        known_height = reliable & jnp.isfinite(height_map)
+        height_rel_filled = jnp.where(known_height, height_map, jnp.nan)
+        # internal-hole inpainting (shape_ftp.py:1776-1799) is structurally a
+        # no-op here: the WLS unwrap produces finite values on the whole
+        # reliable mask, so holes = reliable & ~known == empty.
+        output_reliable = reliable & jnp.isfinite(height_rel_filled)
+
+        # --- frontier inside taper (shape_ftp.py:1803-1814)
+        if cfg.frontier_zero_enable and cfg.frontier_zero_band_px > 0:
+            rel = output_reliable
+            dist_in = distance_transform_edt(rel)
+            dist_in_edge = jnp.maximum(dist_in - 1.0, 0.0)
+            wgt = _curve01(dist_in_edge / max(1e-6, float(cfg.frontier_zero_band_px)),
+                           cfg.frontier_zero_curve)
+            base = cfg.unreliable_base_value
+            inside = rel & jnp.isfinite(height_rel_filled)
+            height_rel_filled = jnp.where(
+                inside, base + (height_rel_filled - base) * wgt, height_rel_filled)
+
+        # --- assemble final height (shape_ftp.py:1816-1824)
+        height_final = jnp.where(roi, jnp.float32(cfg.unreliable_base_value), jnp.nan)
+        height_final = jnp.where(output_reliable, height_rel_filled, height_final)
+
+        if cfg.smooth_unreliable_region and cfg.unreliable_smooth_sigma_px > 0:
+            smooth_all = masked_gaussian_smooth(height_final, roi, cfg.unreliable_smooth_sigma_px)
+            upd = roi & ~output_reliable
+            height_final = jnp.where(upd, smooth_all, height_final)
+
+        # --- frontier outside band -> base (shape_ftp.py:1826-1837)
+        if cfg.frontier_zero_enable and cfg.frontier_zero_band_px > 0:
+            dist_out = distance_transform_edt(~output_reliable)
+            dist_out_edge = jnp.maximum(dist_out - 1.0, 0.0)
+            outside_band = roi & ~output_reliable & (dist_out_edge <= float(cfg.frontier_zero_band_px))
+            height_final = jnp.where(outside_band, jnp.float32(cfg.unreliable_base_value), height_final)
+
+        # --- clamp positives (shape_ftp.py:1839-1841)
+        if not cfg.allow_positive_deformation:
+            clamp_sel = roi & jnp.isfinite(height_final)
+            height_final = jnp.where(clamp_sel, jnp.minimum(height_final, 0.0), height_final)
+
+        # --- mm conversion (shape_ftp.py:1850-1855)
+        height_out = height_final
+        if cfg.output_height_in_mm:
+            depth_mm = scalar_models.height_unitless_to_depth_mm(
+                height_final, self.p2h_model, self.use_neg)
+            height_out = -depth_mm if cfg.mm_keep_indentation_negative else depth_mm
+
+        # --- contact blob filter (shape_ftp.py:1862-1873)
+        contact_kept = jnp.zeros_like(roi)
+        if cfg.filter_small_contact_blobs and cfg.output_height_in_mm:
+            roi_f = roi & jnp.isfinite(height_out)
+            depth = (-height_out if cfg.mm_keep_indentation_negative else height_out)
+            cand = roi_f & (depth > 0.0)
+            gmax = masked_max(depth, cand)
+            thr = jnp.maximum(jnp.float32(cfg.contact_blob_min_peak_mm),
+                              jnp.float32(cfg.contact_blob_min_peak_rel_frac) * gmax)
+            kept = filter_components_by_peak(cand, depth, thr,
+                                             min_area_px=cfg.contact_blob_min_area_px)
+            removed = cand & ~kept
+            height_out = jnp.where(removed, 0.0, height_out)
+            contact_kept = kept
+
+        # --- estimated grating period (shape_ftp.py:2015-2027)
+        period_ref = wf / jnp.maximum(jnp.abs(dref.k[0]), 1e-9)
+        period_def = wf / jnp.maximum(jnp.abs(ddef.k[0]), 1e-9)
+        est_period = 0.5 * (period_ref + period_def)
+
+        out = {
+            "height_map_mm_crop": height_out.astype(jnp.float32),
+            "height_map_unitless_crop": height_final.astype(jnp.float32),
+            "output_reliable_crop": output_reliable,
+            "reliable_crop": reliable,
+            "contact_dilated_crop": contact_d,
+            "contact_kept_crop": contact_kept,
+            "est_period_px": est_period,
+            "carrier_k_ref": dref.k,
+            "carrier_k_def": ddef.k,
+            "phase_wrapped_crop": phase_wrapped,
+        }
+        if self.debug_outputs:
+            out.update({
+                "dbg_def_gray_aligned": def_gray,
+                "dbg_ref_gray": ref_gray,
+                "dbg_quality": quality,
+                "dbg_amp_ref": dref.amp,
+                "dbg_amp_def": ddef.amp,
+                "dbg_unwrapped": phase_unwrapped,
+                "dbg_phase_zeroed": phase_zeroed,
+                "dbg_complex_ref": dref.complex_demod,
+                "dbg_complex_def": ddef.complex_demod,
+                "dbg_peak_ref": dref.peak_f,
+            })
+        return out

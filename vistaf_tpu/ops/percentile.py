@@ -84,6 +84,20 @@ def masked_percentile_hist(arr: jnp.ndarray, mask: jnp.ndarray, q: float,
     return jnp.where(n > 0, v, jnp.float32(fallback))
 
 
+def get_percentile_fn(method: str):
+    """Select the percentile implementation: 'sort' (exact, NumPy-faithful)
+    or 'hist' (two-pass histogram, much cheaper on TPU)."""
+    if method == "sort":
+        return masked_percentile
+    if method == "hist":
+        def f(arr, mask, q, fallback=0.0):
+            if isinstance(q, (tuple, list)):
+                return jnp.stack([masked_percentile_hist(arr, mask, qq, fallback=fallback) for qq in q])
+            return masked_percentile_hist(arr, mask, q, fallback=fallback)
+        return f
+    raise ValueError(f"unknown percentile method: {method}")
+
+
 def masked_mean(arr: jnp.ndarray, mask: jnp.ndarray, fallback: float = 0.0) -> jnp.ndarray:
     x = arr.astype(jnp.float32)
     m = mask & jnp.isfinite(x)

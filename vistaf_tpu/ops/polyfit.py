@@ -14,7 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from vistaf_tpu.ops.percentile import masked_median
+from vistaf_tpu.ops.percentile import get_percentile_fn
 
 
 def _basis(h: int, w: int, order: int):
@@ -36,9 +36,10 @@ def eval_poly2d(h: int, w: int, coef: jnp.ndarray, order: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("order", "iters"))
+@functools.partial(jax.jit, static_argnames=("order", "iters", "percentile_method"))
 def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
-                     iters: int = 6, c: float = 4.685) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     iters: int = 6, c: float = 4.685,
+                     percentile_method: str = "sort") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IRLS fit of a plane/quadratic to ``z`` over ``mask``.
 
     Matches the reference's weighting w = 1/(1+u^2) with u = r/(c*1.4826*MAD)
@@ -56,9 +57,10 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
     mv = mf.ravel()
 
     def solve(wts):
-        wts_m = wts * mv
-        Bw = B * wts_m[:, None]
-        # normal equations: (B^T W B) coef = B^T W z  — small ncoef x ncoef solve
+        # reference solves lstsq(A*w, z*w): rows scaled by w, so the
+        # effective WLS weight is w^2 (shape_ftp.py:1119-1121)
+        w2 = (wts * mv) ** 2
+        Bw = B * w2[:, None]
         H = Bw.T @ B
         g = Bw.T @ zv
         return jnp.linalg.solve(H + 1e-9 * jnp.eye(ncoef), g)
@@ -70,8 +72,9 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
         coef = solve(wts)
         r = zv - B @ coef
         r2 = r.reshape(h, w)
-        med = masked_median(r2, m)
-        mad = masked_median(jnp.abs(r2 - med), m) + 1e-6
+        pctl = get_percentile_fn(percentile_method)
+        med = pctl(r2, m, 50.0)
+        mad = pctl(jnp.abs(r2 - med), m, 50.0) + 1e-6
         sigma = 1.4826 * mad
         u = r / (c * sigma)
         wts = 1.0 / (1.0 + u * u)

@@ -1,0 +1,110 @@
+"""Force sensing: frame pair -> FTP mm heightmap -> volume -> Newtons.
+
+TPU counterpart of ``force_sensor.py`` (single-shot) and the per-image core
+of ``height_to_force.py``.  Volume integration is one fused masked reduction
+(``force_sensor.py:93-123``); the force model evaluates from the loaded
+``calibration_model.json`` (``force_sensor.py:129-167``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vistaf_tpu.calib import artifacts, scalar_models
+from vistaf_tpu.config import ForceConfig, FTPConfig
+from vistaf_tpu.ftp.pipeline import FTPPipeline
+
+
+def depth_map_to_volume_cm3(height_map_mm: jnp.ndarray, roi_mask: jnp.ndarray,
+                            mm_per_px, depth_eps_mm: float = 0.01):
+    """V = sum(depth * px_area) over depth > eps within ROI; returns
+    (volume_cm3, contact_area_mm2, max_depth_mm).
+
+    Depth sign is auto-detected: whichever of (+Z, -Z) integrates larger is
+    the indentation side (``force_sensor.py:106-108``).
+    """
+    Z = height_map_mm.astype(jnp.float32)
+    roi = roi_mask
+    Zf = jnp.where(jnp.isfinite(Z), Z, 0.0)
+    pos = jnp.clip(Zf, 0.0, jnp.inf)
+    neg = jnp.clip(-Zf, 0.0, jnp.inf)
+    pos_sum = jnp.sum(jnp.where(roi, pos, 0.0))
+    neg_sum = jnp.sum(jnp.where(roi, neg, 0.0))
+    depth = jnp.where(neg_sum > pos_sum, neg, pos)
+    depth = jnp.where(roi, depth, 0.0)
+
+    contact = depth > depth_eps_mm
+    px_area = jnp.asarray(mm_per_px, jnp.float32) ** 2
+    volume_mm3 = jnp.sum(jnp.where(contact, depth, 0.0)) * px_area
+    area_mm2 = jnp.sum(contact.astype(jnp.float32)) * px_area
+    max_depth = jnp.max(jnp.where(contact, depth, 0.0))
+    any_contact = jnp.any(contact)
+    volume_cm3 = jnp.where(any_contact, volume_mm3 / 1000.0, 0.0)
+    area_mm2 = jnp.where(any_contact, area_mm2, 0.0)
+    max_depth = jnp.where(any_contact, max_depth, 0.0)
+    return volume_cm3, area_mm2, max_depth
+
+
+class ForcePipeline:
+    """frame pair -> {height_mm, volume_cm3, contact_area_mm2, max_depth_mm,
+    force_N, mm_per_px}.
+
+    Mirrors ``force_sensor.main`` (``force_sensor.py:193-305``) minus the
+    file I/O, which lives in ``vistaf_tpu.runner``.
+    """
+
+    def __init__(self, ftp_cfg: FTPConfig, force_cfg: ForceConfig,
+                 p2h_model: Dict[str, Any], force_model: Dict[str, Any],
+                 use_negated_height: bool = True):
+        self.ftp = FTPPipeline(ftp_cfg, p2h_model, use_negated_height)
+        self.force_cfg = force_cfg
+        self.force_model = force_model
+
+    @classmethod
+    def from_artifacts(cls, data_root: str, ftp_cfg: Optional[FTPConfig] = None,
+                       force_cfg: Optional[ForceConfig] = None) -> "ForcePipeline":
+        import os
+        from vistaf_tpu import config as C
+        ftp_cfg = ftp_cfg or FTPConfig()
+        force_cfg = force_cfg or ForceConfig()
+        p2h, use_neg = artifacts.load_phase_to_height(os.path.join(data_root, C.PHASE_TO_HEIGHT_JSON))
+        fc = artifacts.load_force_calibration(os.path.join(data_root, C.HEIGHT_TO_FORCE_JSON))
+        return cls(ftp_cfg, force_cfg, p2h, fc["best_model"], use_neg)
+
+    def mm_per_px(self, est_period_px: float) -> float:
+        """Grating pitch / FFT-estimated period (``force_sensor.py:173-187``)."""
+        if self.force_cfg.override_mm_per_px is not None:
+            return float(self.force_cfg.override_mm_per_px)
+        if est_period_px is None or not np.isfinite(est_period_px) or est_period_px <= 1e-12:
+            raise RuntimeError(f"Invalid estimated_grating_period_px={est_period_px}")
+        return float(self.force_cfg.grating_pitch_mm) / float(est_period_px)
+
+    def __call__(self, ref_bgr: np.ndarray, def_bgr: np.ndarray,
+                 roi_from_finite: bool = False) -> Dict[str, Any]:
+        """Run FTP + volume + force.
+
+        ``roi_from_finite`` selects the multimodal orchestrator's ROI
+        convention (isfinite(height), ``multimodal_sensor.py:388``) instead of
+        the force sensor's eroded-circle ROI.
+        """
+        res = self.ftp(ref_bgr, def_bgr)
+        height_mm = res["height_map_mm_crop"]
+        roi = np.isfinite(height_mm) if roi_from_finite else res["roi_eroded_crop"]
+        mm_per_px = self.mm_per_px(res["estimated_grating_period_px"])
+
+        v, a, d = depth_map_to_volume_cm3(
+            jnp.asarray(height_mm), jnp.asarray(roi), mm_per_px,
+            self.force_cfg.depth_eps_mm)
+        force_n = scalar_models.predict_force_from_volume(self.force_model, float(v), xp=np)
+
+        res.update({
+            "volume_cm3": float(v),
+            "contact_area_mm2": float(a),
+            "max_depth_mm": float(d),
+            "force_N": float(force_n),
+            "mm_per_px": mm_per_px,
+        })
+        return res
