@@ -1,0 +1,213 @@
+"""Temperature inference: frame -> fused per-pixel °C map + stats.
+
+TPU counterpart of ``temperature_sensor.main`` (``temperature_sensor.py:749-960``):
+feature planes (OpenCV-convention LAB + gray after 5x5 blur), FFT stripe
+segmentation, WIDE model over the full effective ROI, COLOR model on the
+chroma-gated colored-stripe support, per-domain inpainting, per-pixel fusion
+with a blend band around the color model's upper validity bound, clamping and
+stripe-oriented anisotropic smoothing — one jitted graph per frame.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vistaf_tpu.calib.temp_weights import TempModelWeights, load_reference_models
+from vistaf_tpu.config import TempConfig
+from vistaf_tpu.ops import geometry
+from vistaf_tpu.ops.color import bgr_to_gray, bgr_to_lab_u8, chroma_ab
+from vistaf_tpu.ops.filters import gaussian_blur, gaussian_blur_u8_round
+from vistaf_tpu.ops.inpaint import inpaint_within_roi
+from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
+from vistaf_tpu.ops.warp import rotation_matrix, warp_affine_forward
+from vistaf_tpu.temperature.segmentation import segment_stripes
+
+
+def fuse_maps_per_pixel(roi, wide_map, color_map, cfg: TempConfig):
+    """Per-pixel fusion (``temperature_sensor.py:594-635``): wide baseline,
+    color overrides inside its validity band, linear blend near the top of
+    the color range, final clamp."""
+    final = wide_map
+    wide_ok = roi & jnp.isfinite(wide_map)
+    color_ok = (roi & jnp.isfinite(color_map)
+                & (color_map >= cfg.color_t_min - cfg.color_guard_band)
+                & (color_map <= cfg.color_t_max + cfg.color_guard_band))
+    final = jnp.where(color_ok, color_map, final)
+    source = jnp.where(color_ok, jnp.uint8(255), jnp.uint8(0))
+
+    low_th = cfg.color_t_max - cfg.switch_margin_c
+    high_th = cfg.color_t_max + cfg.switch_margin_c
+    blend = wide_ok & color_ok & (wide_map > low_th) & (wide_map < high_th)
+    wgt = jnp.clip((high_th - wide_map) / (high_th - low_th), 0.0, 1.0)
+    final = jnp.where(blend, wgt * color_map + (1.0 - wgt) * wide_map, final)
+    source = jnp.where(blend, jnp.uint8(128), source)
+
+    final = clamp_map(final, roi, cfg.final_t_min, cfg.final_t_max)
+    return final.astype(jnp.float32), source, color_ok
+
+
+def clamp_map(m, roi, lo, hi):
+    """(``temperature_sensor.py:538-543``): clip inside ROI, NaN outside."""
+    out = jnp.where(roi & jnp.isfinite(m), jnp.clip(m, lo, hi), m)
+    return jnp.where(roi, out, jnp.nan)
+
+
+def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along):
+    """Rotate so across-stripe direction aligns with +x, anisotropic blur,
+    rotate back (``temperature_sensor.py:705-742``)."""
+    if sigma_across <= 0 and sigma_along <= 0:
+        return jnp.where(roi, map_f, jnp.nan)
+    h, w = map_f.shape
+    center = (w / 2.0, h / 2.0)
+    angle_deg = -angle_rad * 180.0 / jnp.pi
+
+    map0 = jnp.where(jnp.isfinite(map_f), map_f, 0.0)
+    M = rotation_matrix(center, angle_deg)
+    rot_map = warp_affine_forward(map0, M, border="reflect")
+    rot_roi = warp_affine_forward(roi.astype(jnp.float32), M, border="constant0") > 0.5
+
+    blurred = gaussian_blur(rot_map, float(max(sigma_across, 1e-6)), float(max(sigma_along, 1e-6)))
+
+    M_inv = rotation_matrix(center, -angle_deg)
+    back = warp_affine_forward(blurred, M_inv, border="reflect")
+    back_roi = warp_affine_forward(rot_roi.astype(jnp.float32), M_inv, border="constant0") > 0.5
+    return jnp.where(back_roi, back, jnp.nan)
+
+
+class TemperaturePipeline:
+    """Host wrapper owning static ROI geometry + model weights.
+
+    Usage::
+
+        pipe = TemperaturePipeline(cfg, color_model, wide_model)
+        out = pipe(frame_bgr_u8)
+    """
+
+    def __init__(self, cfg: TempConfig, color_model: TempModelWeights,
+                 wide_model: TempModelWeights):
+        self.cfg = cfg
+        self.color_model = color_model
+        self.wide_model = wide_model
+
+        h, w = cfg.image_height, cfg.image_width
+        outer = geometry.circle_from_3_points_exact(
+            cfg.outer_circle_p1, cfg.outer_circle_p2, cfg.outer_circle_p3)
+        self._roi_outer = geometry.circular_mask(h, w, *outer)
+        if cfg.use_inner_circle:
+            inner = geometry.circle_from_3_points_exact(
+                cfg.inner_circle_p1, cfg.inner_circle_p2, cfg.inner_circle_p3)
+            self._roi_full = geometry.annulus_mask(h, w, inner, outer)
+        else:
+            self._roi_full = self._roi_outer
+        self._crop_bbox = (geometry.bbox_from_mask(self._roi_outer, pad=cfg.crop_pad_px)
+                           if cfg.crop_output_to_outer_roi else None)
+        self._forward = jax.jit(self._forward_impl)
+
+    # ------------------------------------------------------------------
+    def __call__(self, frame_bgr: np.ndarray) -> Dict[str, Any]:
+        out = self._forward(jnp.asarray(frame_bgr))
+        res = {k: np.asarray(v) for k, v in out.items()}
+        res["roi_full"] = np.asarray(self._roi_full)
+        res["roi_outer"] = np.asarray(self._roi_outer)
+        res["crop_bbox"] = self._crop_bbox
+        return res
+
+    @classmethod
+    def from_artifacts(cls, data_root: str, cfg: Optional[TempConfig] = None) -> "TemperaturePipeline":
+        cfg = cfg or TempConfig()
+        color, wide = load_reference_models(data_root)
+        return cls(cfg, color, wide)
+
+    # ------------------------------------------------------------------
+    def _forward_impl(self, frame_bgr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        roi_full = jnp.asarray(self._roi_full)
+        roi_outer = jnp.asarray(self._roi_outer)
+
+        gray_raw = bgr_to_gray(frame_bgr)
+
+        # --- segmentation on the unblurred frame
+        seg = segment_stripes(gray_raw, roi_full, cfg)
+
+        # --- feature planes from the 5x5-blurred frame (temperature_sensor.py:279-292)
+        if cfg.blur_ksize > 1:
+            ch = [gaussian_blur_u8_round(frame_bgr[..., i].astype(jnp.float32), cfg.blur_ksize)
+                  for i in range(3)]
+            blurred = jnp.stack(ch, axis=-1)
+        else:
+            blurred = frame_bgr.astype(jnp.float32)
+        lab = bgr_to_lab_u8(blurred)
+        L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+        gray = bgr_to_gray(blurred)
+        chroma = chroma_ab(a, b)
+
+        # --- color support (temperature_sensor.py:797-799)
+        light_d = dilate(seg.light, ellipse_kernel(cfg.color_support_dilate | 1,
+                                                   cfg.color_support_dilate | 1))
+        color_support = light_d & seg.roi_eff & ~seg.sat & (chroma >= cfg.color_chroma_min)
+
+        # --- model predictions
+        feats_wide = jnp.stack([L, a, b, gray], axis=-1)
+        wide_pred = self.wide_model.predict(feats_wide)
+        wide_map_raw = jnp.where(seg.roi_eff, wide_pred, jnp.nan)
+
+        feats_color = jnp.stack([L, a, b], axis=-1)
+        color_pred = self.color_model.predict(feats_color)
+        color_map_raw = jnp.where(color_support, color_pred, jnp.nan)
+
+        # --- per-domain inpainting + clamping (temperature_sensor.py:836-840)
+        wide_map = inpaint_within_roi(wide_map_raw, roi_full, ~jnp.isfinite(wide_map_raw) & roi_full,
+                                      iters=96, quantize_u8=True)
+        wide_map = clamp_map(wide_map, roi_full, cfg.final_t_min, cfg.final_t_max)
+
+        color_map = inpaint_within_roi(color_map_raw, color_support,
+                                       ~jnp.isfinite(color_map_raw) & color_support,
+                                       iters=48, quantize_u8=True)
+        color_map = clamp_map(color_map, color_support,
+                              cfg.color_t_min - 5.0, cfg.color_t_max + 5.0)
+
+        # --- fuse
+        final_fused, source_map, color_ok = fuse_maps_per_pixel(roi_full, wide_map, color_map, cfg)
+
+        # --- oriented smoothing
+        if cfg.final_smooth_enable:
+            final_map = oriented_gaussian_blur(final_fused, roi_full, seg.angle_rad,
+                                               cfg.final_smooth_sigma_across,
+                                               cfg.final_smooth_sigma_along)
+            final_map = clamp_map(final_map, roi_full, cfg.final_t_min, cfg.final_t_max)
+        else:
+            final_map = final_fused
+
+        stats_roi = roi_outer if cfg.crop_output_to_outer_roi else roi_full
+        inside = stats_roi & jnp.isfinite(final_map)
+        n = jnp.maximum(jnp.sum(inside.astype(jnp.float32)), 1.0)
+        vals = jnp.where(inside, final_map, 0.0)
+        t_mean = jnp.sum(vals) / n
+        t_min = jnp.min(jnp.where(inside, final_map, jnp.inf))
+        t_max = jnp.max(jnp.where(inside, final_map, -jnp.inf))
+        t_std = jnp.sqrt(jnp.sum(jnp.where(inside, (final_map - t_mean) ** 2, 0.0)) / n)
+
+        return {
+            "temperature_map_fused": final_fused,
+            "temperature_map_final": final_map,
+            "wide_map": wide_map,
+            "color_map": color_map,
+            "source_map": source_map,
+            "mask_dark": seg.dark,
+            "mask_light": seg.light,
+            "mask_sat": seg.sat,
+            "mask_roi_eff": seg.roi_eff,
+            "mask_color_support": color_support,
+            "mask_color_ok": color_ok,
+            "stripe_angle_rad": seg.angle_rad,
+            "stripe_period_px": seg.period_px,
+            "seg_peak_xy": seg.peak_xy,
+            "t_mean": t_mean,
+            "t_min": t_min,
+            "t_max": t_max,
+            "t_std": t_std,
+            "valid_pixels": jnp.sum(inside.astype(jnp.int32)),
+        }

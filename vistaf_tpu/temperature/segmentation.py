@@ -1,0 +1,124 @@
+"""Periodic TLC-stripe segmentation via FFT sideband carrier extraction.
+
+TPU re-design of ``segment_dark_light_gratings_periodic_fft``
+(``temperature_sensor.py:437-531``): one full-frame FFT, disk bandpass around
+the stripe carrier, global phase rotation so the real part aligns with the
+stripe modulation, sign split into dark/black-TLC vs light/colored-TLC
+stripes, directional morphology cleanup.
+
+The dark/light assignment (whichever sign bin is darker on average) is a
+data-dependent swap expressed with jnp.where, keeping the graph static.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vistaf_tpu.config import TempConfig
+from vistaf_tpu.ops import fftops
+from vistaf_tpu.ops.filters import gaussian_blur
+from vistaf_tpu.ops.morphology import close as morph_close
+from vistaf_tpu.ops.morphology import dilate, ellipse_kernel, open_ as morph_open, rect_kernel
+from vistaf_tpu.ops.percentile import masked_mean, masked_median
+
+
+class SegmentationResult(NamedTuple):
+    dark: jnp.ndarray          # black-TLC stripes (bool)
+    light: jnp.ndarray         # colored-TLC stripes (bool)
+    roi_eff: jnp.ndarray       # roi minus saturation
+    sat: jnp.ndarray           # saturated/specular pixels
+    peak_xy: jnp.ndarray       # (2,) int carrier peak
+    angle_rad: jnp.ndarray     # stripe normal direction
+    period_px: jnp.ndarray     # stripe period
+
+
+def saturation_mask(gray: jnp.ndarray, roi: jnp.ndarray, cfg: TempConfig) -> jnp.ndarray:
+    """Specular-highlight mask: gray >= thresh, dilated
+    (``temperature_sensor.py:378-387``)."""
+    sat = (gray >= float(cfg.sat_thresh_gray)) & roi
+    k = cfg.sat_dilate_ksize | 1
+    if k > 1:
+        sat = dilate(sat, ellipse_kernel(k, k)) & roi
+    return sat
+
+
+def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
+                    cfg: TempConfig) -> SegmentationResult:
+    h, w = image_gray.shape
+    gray = image_gray.astype(jnp.float32)
+
+    sat = saturation_mask(gray, roi, cfg)
+    roi_eff = roi & ~sat
+
+    med = masked_median(gray, roi_eff)
+    g = jnp.where(roi, gray, med)
+
+    # illumination normalization (temperature_sensor.py:363-375)
+    if cfg.seg_illum_sigma and cfg.seg_illum_sigma > 0:
+        blur = gaussian_blur(g, float(cfg.seg_illum_sigma))
+        blur = jnp.where(blur < 1e-6, 1.0, blur)
+        norm = g / blur
+    else:
+        norm = g
+    mu = masked_mean(norm, roi_eff)
+    mu = jnp.where(jnp.abs(mu) > 1e-9, mu, 1.0)
+    i_norm = norm / mu
+
+    F = jnp.fft.fft2(i_norm)
+    F_shift = jnp.fft.fftshift(F)
+    mag = jnp.abs(F_shift)
+
+    xs, ys, mags = fftops.find_top_peaks(mag, cfg.seg_dc_exclusion, cfg.seg_n_peaks)
+    px, py = fftops.choose_carrier_peak(
+        xs, ys, mags, h, w,
+        force_right_half_plane=cfg.seg_force_right_half_plane,
+        prefer_near_center_row=cfg.seg_prefer_peak_near_center_row,
+        peak_max_dy_frac=cfg.seg_peak_max_dy_from_center)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    dist2 = (xx - px.astype(jnp.float32)) ** 2 + (yy - py.astype(jnp.float32)) ** 2
+    bp = dist2 <= float(cfg.seg_band_radius) ** 2
+    z = jnp.fft.ifft2(jnp.fft.ifftshift(F_shift * bp))
+
+    # rotate so real part aligns with the stripe modulation
+    m = i_norm - 1.0
+    c = jnp.sum(jnp.where(roi_eff, z * m, 0.0))
+    phi0 = jnp.where(jnp.isfinite(jnp.abs(c)), jnp.angle(c), 0.0)
+    s = jnp.real(z * jnp.exp(-1j * phi0)).astype(jnp.float32)
+
+    mask_a = (s >= 0) & roi_eff
+    mask_b = (s < 0) & roi_eff
+    mean_a = masked_mean(gray, mask_a, fallback=1e9)
+    mean_b = masked_mean(gray, mask_b, fallback=1e9)
+    a_is_dark = mean_a <= mean_b
+    dark = jnp.where(a_is_dark, mask_a, mask_b)
+    light = jnp.where(a_is_dark, mask_b, mask_a)
+
+    # directional morphology cleanup (temperature_sensor.py:390-405);
+    # cv2 Size(kx, ky) = (width, height) -> rect_kernel(ky rows, kx cols)
+    k_close = rect_kernel(cfg.post_close_ky | 1, cfg.post_close_kx | 1)
+    k_open = rect_kernel(cfg.post_open_ky | 1, cfg.post_open_kx | 1)
+
+    def post(mk):
+        out = morph_close(mk, k_close)
+        out = morph_open(out, k_open)
+        return out & roi
+
+    dark = post(dark)
+    dark_final = dark & roi_eff
+    light_final = roi_eff & ~dark_final
+
+    cy, cx = h // 2, w // 2
+    dx = px.astype(jnp.float32) - cx
+    dy = py.astype(jnp.float32) - cy
+    fx = dx / w
+    fy = dy / h
+    fmag = jnp.hypot(fx, fy)
+    period = jnp.where(fmag > 1e-9, 1.0 / fmag, jnp.nan)
+    angle = jnp.arctan2(dy, dx)
+
+    return SegmentationResult(dark_final, light_final, roi_eff, sat,
+                              jnp.stack([px, py]), angle, period)
