@@ -134,7 +134,7 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     p0 = jnp.zeros((n_params,), jnp.float32)
 
     def body(state):
-        p, last_rho, rho, it = state
+        p, last_rho, rho, it, failed = state
         sx, sy = _warp_coords(mode, p, xx, yy)
         iw = sample_bilinear(I, sy, sx, border="constant0")
         gxw = sample_bilinear(gx, sy, sx, border="constant0")
@@ -172,17 +172,23 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
         p_new = p + dp
 
         new_rho = corr / jnp.maximum(tnorm * jnp.sqrt(inorm2), 1e-12)
-        # diverging lambda denominator => freeze (cv2 raises; we hold position)
-        p_new = jnp.where(lam_den > 0, p_new, p)
-        return p_new, rho, new_rho, it + 1
+        # cv2 findTransformECC raises StsNoConv when the lambda denominator is
+        # non-positive or rho goes NaN; the reference catches that and falls
+        # back to the unaligned image (shape_ftp.py:576-578).  Mirror it.
+        now_failed = (lam_den <= 0.0) | jnp.isnan(new_rho)
+        p_new = jnp.where(now_failed, p, p_new)
+        return p_new, rho, new_rho, it + 1, failed | now_failed
 
     def cond(state):
-        p, last_rho, rho, it = state
-        return (it < max_iters) & (jnp.abs(rho - last_rho) >= eps)
+        p, last_rho, rho, it, failed = state
+        return (it < max_iters) & (jnp.abs(rho - last_rho) >= eps) & ~failed
 
-    state = (p0, jnp.float32(-2.0), jnp.float32(-1.0), jnp.int32(0))
-    p, _, rho, it = jax.lax.while_loop(cond, body, state)
-    return _warp_matrix(mode, p), rho, it
+    state = (p0, jnp.float32(-2.0), jnp.float32(-1.0), jnp.int32(0), jnp.bool_(False))
+    p, _, rho, it, failed = jax.lax.while_loop(cond, body, state)
+    identity = _warp_matrix(mode, jnp.zeros_like(p))
+    warp = jnp.where(failed, identity, _warp_matrix(mode, p))
+    rho = jnp.where(failed, jnp.nan, rho)
+    return warp, rho, it
 
 
 def ecc_align_and_warp(ref: jnp.ndarray, mov: jnp.ndarray, mask: jnp.ndarray,

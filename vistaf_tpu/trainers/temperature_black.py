@@ -1,0 +1,119 @@
+"""Black/mixed-TLC temperature calibration trainer.
+
+TPU counterpart of ``temperature_black_model.py``: trains on random
+per-pixel (L, a, b, gray) samples (4000/image, saturation-excluded) so the
+model matches per-pixel inference; degrees {1,2,3}; no isotonic
+(``temperature_black_model.py:659-1004``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Sequence
+
+import numpy as np
+
+from vistaf_tpu.calib.artifacts import save_json
+from vistaf_tpu.calib.huber import fit_huber_poly
+from vistaf_tpu.runner import io
+from vistaf_tpu.trainers import temperature_common as tc
+
+TEMPS_HEATING = tuple(range(20, 51)) + tuple(range(55, 76, 5))
+FRAMES_PER_TEMP = 5
+USE_FEATURES = ("L", "a", "b", "gray")
+POLY_DEGREE_CANDIDATES = (1, 2, 3)
+CV_SPLITS = 6
+HUBER_EPSILON = 1.2
+HUBER_ALPHA = 1e-4
+PIXELS_PER_IMAGE = 4000
+MAX_TOTAL_PIXEL_SAMPLES = 1_500_000
+
+INNER_CIRCLE = ((1881, 1749), (1579, 665), (2616, 936))
+OUTER_CIRCLE = ((1803, 1990), (1393, 496), (2856, 860))
+
+
+def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
+          temps_heating: Sequence[float] = TEMPS_HEATING,
+          frames_per_temp: int = FRAMES_PER_TEMP,
+          degree_candidates: Sequence[int] = POLY_DEGREE_CANDIDATES,
+          cv_splits: int = CV_SPLITS,
+          pixels_per_image: int = PIXELS_PER_IMAGE,
+          max_total_samples: int = MAX_TOTAL_PIXEL_SAMPLES,
+          seed: int = 0,
+          inner_circle=INNER_CIRCLE, outer_circle=OUTER_CIRCLE) -> Dict:
+    io.ensure_dir(out_dir)
+    import cv2
+    heating_files = tc.load_images_sorted(heating_pattern)
+    cooling_files = tc.load_images_sorted(cooling_pattern)
+    first = cv2.imread(heating_files[0], cv2.IMREAD_COLOR)
+    h, w = first.shape[:2]
+    mask = tc.annulus_roi(h, w, inner_circle, outer_circle)
+
+    temps_cooling = tuple(reversed(tuple(temps_heating)))
+    y_heat_full = np.repeat(np.asarray(temps_heating, float), frames_per_temp)
+    y_cool_full = np.repeat(np.asarray(temps_cooling, float), frames_per_temp)
+
+    X_heat, y_heat = tc.pixel_samples_for_sequence(
+        heating_files, mask, y_heat_full, pixels_per_image, max_total_samples, seed)
+    X_cool, y_cool = tc.pixel_samples_for_sequence(
+        cooling_files, mask, y_cool_full, pixels_per_image, max_total_samples, seed)
+
+    def fit_variant(X, y, name):
+        groups = y.astype(int)
+        deg = tc.choose_degree_by_groupcv(X, y, groups, degree_candidates,
+                                          cv_splits, HUBER_EPSILON, HUBER_ALPHA)
+        model = fit_huber_poly(X, y, degree=deg, epsilon=HUBER_EPSILON, alpha=HUBER_ALPHA)
+        pred = model.predict(X)
+        weights = tc.pipeline_to_weights(model, name, USE_FEATURES, None)
+        uniq, pred_means = tc.per_temp_mean_pred(y, pred)
+        return {
+            "degree": deg,
+            "weights": weights,
+            "metrics_frames": tc.compute_metrics(y, pred),
+            "metrics_means": tc.compute_metrics(uniq, pred_means),
+        }
+
+    heating = fit_variant(X_heat, y_heat, "black_model_heating")
+    cooling = fit_variant(X_cool, y_cool, "black_model_cooling")
+    X_all = np.vstack([X_heat, X_cool])
+    y_all = np.concatenate([y_heat, y_cool])
+    global_ = fit_variant(X_all, y_all, "wide_model")
+
+    eqs = {k: tc.equation_string(v["weights"]) for k, v in
+           (("heating", heating), ("cooling", cooling), ("global", global_))}
+
+    with open(os.path.join(out_dir, "equations_black_models_final.txt"), "w", encoding="utf-8") as f:
+        f.write(f"FINAL MODEL (HEATING)  T = f(L,a,b,gray)\nDegree={heating['degree']}\n{eqs['heating']}\n\n")
+        f.write(f"FINAL MODEL (COOLING)  T = f(L,a,b,gray)\nDegree={cooling['degree']}\n{eqs['cooling']}\n\n")
+        f.write(f"FINAL MODEL (GLOBAL / MERGED)  T = f(L,a,b,gray)\nDegree={global_['degree']}\n{eqs['global']}\n")
+
+    summary = {
+        "output_dir": os.path.abspath(out_dir),
+        "use_features": list(USE_FEATURES),
+        "frames_per_temp": int(frames_per_temp),
+        "poly_degree_candidates": list(degree_candidates),
+        "auto_select_degree": True,
+        "train_on_pixel_samples": True,
+        "pixels_per_image": int(pixels_per_image),
+        "huber": {"epsilon": HUBER_EPSILON, "alpha": HUBER_ALPHA, "max_iter": 10000},
+        "models_final": {
+            name: {
+                "degree": int(v["degree"]),
+                "equation": eqs[name],
+                "metrics_frames": v["metrics_frames"],
+                "metrics_means": v["metrics_means"],
+            } for name, v in (("heating", heating), ("cooling", cooling), ("global", global_))
+        },
+    }
+    save_json(os.path.join(out_dir, "models_final_summary_metrics.json"), summary)
+
+    for name, v in (("heating", heating), ("cooling", cooling), ("global", global_)):
+        stem = f"black_model_{name}_huber_deg{v['degree']}" if name != "global" \
+            else f"black_model_global_huber_deg{v['degree']}"
+        v["weights"].save_npz(os.path.join(out_dir, stem + ".npz"))
+        tc.export_joblib_bundle(
+            os.path.join(out_dir, stem + ".joblib"), v["weights"], None,
+            extra={"training_mode": "pixel_samples",
+                   "pixel_sampling": {"pixels_per_image": int(pixels_per_image),
+                                      "max_total": int(max_total_samples),
+                                      "seed": int(seed)}})
+    return summary
