@@ -1,0 +1,51 @@
+"""End-to-end force goldens against the reference's committed demo outputs
+(SURVEY.md §6.2).  Slow: full-resolution frames on the CPU backend."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, reference_available
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(), reason="reference data not mounted"),
+]
+
+SCENES = {
+    # scene -> (force tolerance %, volume tolerance %)
+    "FINAL_E_deformed": (3.0, 2.0),
+    "FINAL_ROUND_METAL": (3.0, 2.0),
+    "FINAL_TEMP_DEMO": (5.0, 3.0),
+}
+
+
+@pytest.fixture(scope="module")
+def force_pipeline():
+    from vistaf_tpu.pipelines.force import ForcePipeline
+    return ForcePipeline.from_artifacts(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope="module")
+def ref_frame():
+    from vistaf_tpu.runner.io import imread_bgr
+    return imread_bgr(os.path.join(REFERENCE_ROOT, "Final_demos_images/FINAL_reference.jpg"))
+
+
+@pytest.mark.parametrize("scene", sorted(SCENES))
+def test_force_golden(force_pipeline, ref_frame, scene):
+    from vistaf_tpu.runner.io import imread_bgr
+    d = imread_bgr(os.path.join(REFERENCE_ROOT, f"Final_demos_images/{scene}.jpg"))
+    out = force_pipeline(ref_frame, d, roi_from_finite=True)
+    with open(os.path.join(REFERENCE_ROOT,
+                           f"Multimodal_Sensor/Demos_report/{scene}/force_sensing/result.json")) as f:
+        gold = json.load(f)
+
+    ftol, vtol = SCENES[scene]
+    assert abs(out["force_N"] - gold["force_N"]) / gold["force_N"] * 100 < ftol
+    assert abs(out["volume_cm3"] - gold["volume_cm3"]) / gold["volume_cm3"] * 100 < vtol
+    assert abs(out["max_depth_mm"] - gold["max_depth_mm"]) < 0.02
+    # the FFT carrier estimate must be essentially exact
+    assert abs(out["estimated_grating_period_px"] - gold["estimated_grating_period_px"]) < 0.01
+    assert abs(out["mm_per_px"] - gold["mm_per_px"]) < 1e-6

@@ -93,8 +93,12 @@ class FTPPipeline:
     """
 
     def __init__(self, cfg: FTPConfig, p2h_model: Dict[str, Any],
-                 use_negated_height: bool = True, debug_outputs: bool = False):
+                 use_negated_height: bool = True, debug_outputs: bool = False,
+                 stop_after: Optional[str] = None):
         self.debug_outputs = debug_outputs
+        # profiling aid: truncate the graph after a named stage
+        # ('align' | 'demod' | 'reliable' | 'unwrap' | 'detrend' | 'assemble')
+        self.stop_after = stop_after
         self.cfg = cfg
         self.geom = FTPGeometry.from_config(cfg)
         self.p2h_model = p2h_model
@@ -163,6 +167,9 @@ class FTPPipeline:
                                         max_iters=cfg.ecc_iters, eps=cfg.ecc_eps)
             def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
 
+        if self.stop_after == 'align':
+            return {'x': def_gray}
+
         # --- demodulation, carrier locked to the reference peak
         dref = ftp_complex_demod(ref_gray, apo, cfg, carrier_refined=None)
         if cfg.lock_carrier_to_reference:
@@ -172,6 +179,9 @@ class FTPPipeline:
 
         hf, wf = dref.fft_shape
         h, w = ref_gray.shape
+
+        if self.stop_after == 'demod':
+            return {'x': jnp.abs(ddef.complex_demod) + dref.amp}
 
         # --- reliable mask (shape_ftp.py:739-775)
         quality = dref.amp * ddef.amp
@@ -188,6 +198,9 @@ class FTPPipeline:
         if cfg.reliable_edge_margin_px > 0:
             reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px)
 
+        if self.stop_after == 'reliable':
+            return {'x': reliable.astype(jnp.float32) * quality}
+
         # --- wrapped phase difference + dk ramp (shape_ftp.py:1681-1689)
         ratio = ddef.complex_demod * jnp.conj(dref.complex_demod)
         dkx = ddef.k[0] - dref.k[0]
@@ -201,6 +214,9 @@ class FTPPipeline:
 
         # --- unwrap (WLS substitution for shape_ftp.py:1043-1080)
         phase_unwrapped = unwrap_wls(phase_wrapped, reliable, cg_iters=cfg.unwrap_cg_iters)
+
+        if self.stop_after == 'unwrap':
+            return {'x': phase_unwrapped}
 
         # --- global plane removal (debug_ramp, shape_ftp.py:1417-1422)
         if cfg.remove_global_plane_before_detrend:
@@ -238,6 +254,9 @@ class FTPPipeline:
             phase_detrended = phase_unwrapped - fit
             bg_med = masked_median(phase_detrended, background)
             phase_zeroed = phase_detrended - bg_med
+
+        if self.stop_after == 'detrend':
+            return {'x': phase_zeroed}
 
         height_map = phase_zeroed
 
@@ -293,6 +312,9 @@ class FTPPipeline:
         if not cfg.allow_positive_deformation:
             clamp_sel = roi & jnp.isfinite(height_final)
             height_final = jnp.where(clamp_sel, jnp.minimum(height_final, 0.0), height_final)
+
+        if self.stop_after == 'assemble':
+            return {'x': height_final}
 
         # --- mm conversion (shape_ftp.py:1850-1855)
         height_out = height_final

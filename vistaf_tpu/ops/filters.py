@@ -36,18 +36,55 @@ def _reflect101_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     return jnp.pad(x, ((pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
 
 
+def _fold_reflect101_idx(i: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return np.zeros_like(i)
+    period = 2 * (n - 1)
+    m = np.mod(i, period)
+    m = np.where(m < 0, m + period, m)
+    return np.where(m >= n, period - m, m)
+
+
+@functools.lru_cache(maxsize=128)
+def _band_matrix(n: int, k_key) -> np.ndarray:
+    """Dense banded filter matrix B with REFLECT_101 boundary folded in:
+    (B @ v)[i] = sum_t k[t] * v[fold(i - half + t)].
+
+    Single-channel small-image convs map terribly onto the TPU conv engine;
+    as a dense matmul the same filter runs on the MXU in microseconds.
+    """
+    k = np.asarray(k_key, np.float64)
+    half = (len(k) - 1) // 2
+    B = np.zeros((n, n), np.float32)
+    for t, w in enumerate(k):
+        src = _fold_reflect101_idx(np.arange(n) - half + t, n)
+        B[np.arange(n), src] += w
+    return B
+
+
 def _sep_conv2d(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
-    """Separable 2-D convolution with REFLECT_101 border, float32."""
+    """Separable 2-D convolution with REFLECT_101 border, float32.
+
+    Implemented as two banded matmuls (MXU) rather than lax.conv — see
+    _band_matrix."""
     x = x.astype(jnp.float32)
-    ph = (len(ky) - 1) // 2
-    pw = (len(kx) - 1) // 2
-    xp = _reflect101_pad(x, ph, pw)
-    img = xp[jnp.newaxis, jnp.newaxis, :, :]
-    k_row = jnp.asarray(kx, jnp.float32)[jnp.newaxis, jnp.newaxis, jnp.newaxis, :]
-    out = jax.lax.conv_general_dilated(img, k_row, window_strides=(1, 1), padding="VALID")
-    k_col = jnp.asarray(ky, jnp.float32)[jnp.newaxis, jnp.newaxis, :, jnp.newaxis]
-    out = jax.lax.conv_general_dilated(out, k_col, window_strides=(1, 1), padding="VALID")
-    return out[0, 0]
+    h, w = x.shape
+    By = jnp.asarray(_band_matrix(h, tuple(np.asarray(ky, np.float64))))
+    Bx = jnp.asarray(_band_matrix(w, tuple(np.asarray(kx, np.float64))))
+    out = jnp.dot(By, x, preferred_element_type=jnp.float32)
+    out = jnp.dot(out, Bx.T, preferred_element_type=jnp.float32)
+    return out
+
+
+def _shift_add_conv3(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
+    """3-tap separable conv via padded shifts (VPU), REFLECT_101 border."""
+    x = x.astype(jnp.float32)
+    xp = _reflect101_pad(x, 1, 1)
+    h, w = x.shape
+    row = (kx[0] * xp[1:-1, 0:w] + kx[1] * xp[1:-1, 1:w + 1] + kx[2] * xp[1:-1, 2:w + 2])
+    rp = jnp.pad(row, ((1, 1), (0, 0)), mode="reflect")
+    out = ky[0] * rp[0:h, :] + ky[1] * rp[1:h + 1, :] + ky[2] * rp[2:h + 2, :]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("sigma_x", "sigma_y", "ksize", "u8"))
@@ -82,13 +119,18 @@ def box_filter(x: jnp.ndarray, ksize: int, normalize: bool = False) -> jnp.ndarr
 
 def sobel(x: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     """cv2.Sobel(x, CV_32F, dx, dy, ksize=3) equivalent
-    (``shape_ftp.py:633-634``)."""
+    (``shape_ftp.py:633-634``).
+
+    Note cv2's correlation kernel for dx=1 is [-1, 0, +1] left-to-right;
+    as convolution-style shift-add below the taps index source offsets
+    directly, so the +1 tap multiplies the right neighbor.
+    """
     deriv = np.array([-1.0, 0.0, 1.0], np.float32)
     smooth = np.array([1.0, 2.0, 1.0], np.float32)
     if dx == 1 and dy == 0:
-        return _sep_conv2d(x, smooth, deriv)
+        return _shift_add_conv3(x, smooth, deriv)
     if dx == 0 and dy == 1:
-        return _sep_conv2d(x, deriv, smooth)
+        return _shift_add_conv3(x, deriv, smooth)
     raise ValueError("sobel supports (1,0) or (0,1)")
 
 

@@ -50,36 +50,42 @@ def masked_median(arr: jnp.ndarray, mask: jnp.ndarray, fallback: float = 0.0) ->
 
 @functools.partial(jax.jit, static_argnames=("bins", "refine"))
 def masked_percentile_hist(arr: jnp.ndarray, mask: jnp.ndarray, q: float,
-                           bins: int = 2048, refine: int = 1,
+                           bins: int = 128, refine: int = 2,
                            fallback: float = 0.0) -> jnp.ndarray:
-    """Approximate masked percentile via iterative histogram refinement.
+    """Approximate masked percentile via iterative threshold-count
+    refinement.
 
-    Error after ``refine`` extra passes is ~range / bins^(1+refine) — far
-    below the noise floor of any threshold in this pipeline, at a fraction of
-    the sort cost.  Scalar ``q`` only.
+    Counts elements below a ladder of ``bins`` thresholds (one broadcasted
+    compare + reduction per pass — no scatter, pure VPU) and narrows the
+    bracket ``1 + refine`` times: error ~ range / bins^(1+refine), far below
+    the noise floor of any threshold in this pipeline and far cheaper than a
+    sort on TPU.  Scalar ``q`` only.
     """
     x = arr.astype(jnp.float32).ravel()
     m = (mask.ravel() if mask is not None else jnp.ones_like(x, dtype=bool)) & jnp.isfinite(x)
     n = jnp.sum(m.astype(jnp.float32))
-    xm = jnp.where(m, x, jnp.nan)
-    lo = jnp.nanmin(xm)
-    hi = jnp.nanmax(xm)
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(m, x, big))
+    hi = jnp.max(jnp.where(m, x, -big))
+    # rank such that count(x <= v) ~ target rank + 1
     target = jnp.asarray(q, jnp.float32) / 100.0 * jnp.maximum(n - 1.0, 0.0)
 
-    def pass_once(lo, hi):
+    def pass_once(carry):
+        lo, hi = carry
         span = jnp.maximum(hi - lo, 1e-30)
-        idx = jnp.clip(((x - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
-        hist = jnp.zeros((bins,), jnp.float32).at[idx].add(m.astype(jnp.float32))
-        csum = jnp.cumsum(hist)
-        # first bin whose cumulative count exceeds the target rank
-        bin_i = jnp.sum((csum <= target).astype(jnp.int32))
+        edges = lo + span * jnp.arange(1, bins + 1, dtype=jnp.float32) / bins  # (B,)
+        # counts[b] = #masked x <= edges[b]; one (N, B) compare + reduce
+        le = (x[:, None] <= edges[None, :]) & m[:, None]
+        counts = jnp.sum(le.astype(jnp.float32), axis=0)
+        # smallest bin whose cumulative count exceeds the target rank
+        bin_i = jnp.sum((counts <= target).astype(jnp.int32))
         bin_i = jnp.clip(bin_i, 0, bins - 1)
         new_lo = lo + span * bin_i / bins
         new_hi = lo + span * (bin_i + 1) / bins
         return new_lo, new_hi
 
     for _ in range(1 + refine):
-        lo, hi = pass_once(lo, hi)
+        lo, hi = pass_once((lo, hi))
     v = 0.5 * (lo + hi)
     return jnp.where(n > 0, v, jnp.float32(fallback))
 
