@@ -28,6 +28,17 @@ def test_warp_affine_forward_matches_cv2(rng):
     np.testing.assert_allclose(ours, ref, atol=0.75)
 
 
+def test_translate_bilinear_matches_cv2(rng):
+    img = (rng.random((60, 70)) * 255).astype(np.float32)
+    for dx, dy in [(3.25, -2.5), (-7.8, 4.1), (0.0, 0.0)]:
+        M = np.array([[1, 0, dx], [0, 1, dy]], np.float32)
+        ref = cv2.warpAffine(img, M, (70, 60), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REFLECT)
+        ours = np.asarray(warp.translate_bilinear(jnp.asarray(img), dx, dy, max_shift=16))
+        np.testing.assert_allclose(ours, ref, atol=0.75)
+        assert np.abs(ours[5:-5, 5:-5] - ref[5:-5, 5:-5]).mean() < 0.05
+
+
 def test_rotation_matrix_matches_cv2():
     ours = np.asarray(warp.rotation_matrix((35.0, 20.0), 17.0))
     ref = cv2.getRotationMatrix2D((35.0, 20.0), 17.0, 1.0)

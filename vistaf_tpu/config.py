@@ -111,7 +111,11 @@ class FTPConfig:
     ecc_iters: int = 300
     ecc_eps: float = 1e-7
     ecc_gauss_filt: float = 5.0
+    # GN statistics grid stride (TPU knob; 1 = reference-faithful)
+    ecc_stride: int = 1
     global_shift_blur_sigma: float = 7.0
+    # bound for the dynamic-slice translation warp (px)
+    global_shift_max_px: int = 96
 
     # --- Carrier handling (shape_ftp.py:200-218) ---
     force_right_half_plane: bool = True

@@ -42,7 +42,7 @@ from vistaf_tpu.ops.percentile import get_percentile_fn, masked_max, masked_medi
 from vistaf_tpu.ops.polyfit import robust_polyfit2d
 from vistaf_tpu.ops.registration import ecc_align, phase_correlate
 from vistaf_tpu.ops.unwrap import unwrap_wls
-from vistaf_tpu.ops.warp import warp_affine_forward, warp_affine_inverse_map
+from vistaf_tpu.ops.warp import translate_bilinear, warp_affine_inverse_map
 
 
 @dataclass(frozen=True)
@@ -149,9 +149,8 @@ class FTPPipeline:
             rb = gaussian_blur(ref_gray_full, cfg.global_shift_blur_sigma)
             db = gaussian_blur(def_gray_full, cfg.global_shift_blur_sigma)
             dx, dy, _resp = phase_correlate(rb, db, jnp.asarray(self._hann_full))
-            M = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
-            M = M.at[0, 2].set(dx).at[1, 2].set(dy)
-            def_gray_full = warp_affine_forward(def_gray_full, M, border="reflect")
+            def_gray_full = translate_bilinear(def_gray_full, dx, dy,
+                                               max_shift=cfg.global_shift_max_px)
 
         ref_gray = ref_gray_full[y1:y2, x1:x2]
         def_gray = def_gray_full[y1:y2, x1:x2]
@@ -164,7 +163,8 @@ class FTPPipeline:
                 r01 = gaussian_blur(r01, cfg.ecc_gauss_filt)
                 m01 = gaussian_blur(m01, cfg.ecc_gauss_filt)
             warp, _rho, _it = ecc_align(r01, m01, circ, mode=cfg.ecc_warp_mode,
-                                        max_iters=cfg.ecc_iters, eps=cfg.ecc_eps)
+                                        max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
+                                        stride=cfg.ecc_stride)
             def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
 
         if self.stop_after == 'align':

@@ -106,10 +106,10 @@ def _steepest_descent(mode: str, p: jnp.ndarray, xx, yy, gxw, gyw):
     return [gxw * xx, gyw * xx, gxw * yy, gyw * yy, gxw, gyw]
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("mode", "max_iters", "stride"))
 def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
               mask: jnp.ndarray, mode: str = "euclidean",
-              max_iters: int = 300, eps: float = 1e-7):
+              max_iters: int = 300, eps: float = 1e-7, stride: int = 1):
     """Find warp p maximizing the enhanced correlation coefficient between
     ``template`` and ``image`` sampled at W(x; p).
 
@@ -117,6 +117,10 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     reference does at ``shape_ftp.py:553-558``).  ``mask`` bounds the valid
     template region; it is warped alongside the image every iteration (cv2
     semantics).  Returns (warp_2x3, rho, n_iters).
+
+    ``stride`` subsamples the Gauss-Newton statistics grid (TPU gathers pay
+    per index; stride 2-3 keeps the estimate while cutting the dominant
+    cost 4-9x).  stride=1 is bit-faithful to the reference formulation.
     """
     n_params = _MODES[mode]
     h, w = template.shape
@@ -128,18 +132,27 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     gx = jnp.zeros_like(I).at[:, 1:-1].set(0.5 * (I[:, 2:] - I[:, :-2]))
     gy = jnp.zeros_like(I).at[1:-1, :].set(0.5 * (I[2:, :] - I[:-2, :]))
 
+    # one stacked plane so each GN iteration does a single 4-channel gather
+    from vistaf_tpu.ops.warp import sample_bilinear_stack
+    S = jnp.stack([I, gx, gy, M01], axis=-1)
+
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    if stride > 1:
+        yy = yy[::stride, ::stride]
+        xx = xx[::stride, ::stride]
+        T = T[::stride, ::stride]
 
     p0 = jnp.zeros((n_params,), jnp.float32)
 
     def body(state):
         p, last_rho, rho, it, failed = state
         sx, sy = _warp_coords(mode, p, xx, yy)
-        iw = sample_bilinear(I, sy, sx, border="constant0")
-        gxw = sample_bilinear(gx, sy, sx, border="constant0")
-        gyw = sample_bilinear(gy, sy, sx, border="constant0")
-        mw = sample_bilinear(M01, sy, sx, border="constant0") > 0.95
+        samp = sample_bilinear_stack(S, sy, sx)
+        iw = samp[..., 0]
+        gxw = samp[..., 1]
+        gyw = samp[..., 2]
+        mw = samp[..., 3] > 0.95
 
         n = jnp.maximum(jnp.sum(mw.astype(jnp.float32)), 1.0)
         t_mean = jnp.sum(jnp.where(mw, T, 0.0)) / n

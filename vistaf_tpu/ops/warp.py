@@ -76,6 +76,66 @@ def sample_bilinear(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     return out
 
 
+def sample_bilinear_stack(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample a (H, W, C) channel stack at float coords with
+    zeros outside — one shared gather for all C channels (TPU gathers cost
+    per-index, so stacking channels amortizes them)."""
+    h, w, _ = stack.shape
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0).astype(jnp.float32)[..., None]
+    fy = (sy - y0).astype(jnp.float32)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    Ia = stack[y0i, x0i]
+    Ib = stack[y0i, x1i]
+    Ic = stack[y1i, x0i]
+    Id = stack[y1i, x1i]
+    top = Ia * (1.0 - fx) + Ib * fx
+    bot = Ic * (1.0 - fx) + Id * fx
+    out = top * (1.0 - fy) + bot * fy
+    inside = ((sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1))[..., None]
+    return jnp.where(inside, out, 0.0)
+
+
+def translate_bilinear(img: jnp.ndarray, dx, dy, max_shift: int = 96,
+                       border: str = "reflect") -> jnp.ndarray:
+    """Pure-translation warp out(x, y) = img(x - dx, y - dy) with bilinear
+    interpolation, as four dynamic_slices of a padded copy — no gathers.
+
+    Matches cv2.warpAffine(M=[[1,0,dx],[0,1,dy]], INTER_LINEAR,
+    BORDER_REFLECT) for |shift| <= max_shift.  TPU gathers pay per index;
+    a global translation needs none.
+    """
+    h, w = img.shape
+    pad = int(max_shift) + 2
+    mode = "symmetric" if border == "reflect" else "edge"
+    imp = jnp.pad(img.astype(jnp.float32), pad, mode=mode)
+
+    sx = -jnp.asarray(dx, jnp.float32)
+    sy = -jnp.asarray(dy, jnp.float32)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), -max_shift, max_shift)
+    y0i = jnp.clip(y0.astype(jnp.int32), -max_shift, max_shift)
+
+    def sl(iy, ix):
+        return jax.lax.dynamic_slice(imp, (pad + iy, pad + ix), (h, w))
+
+    a = sl(y0i, x0i)
+    b = sl(y0i, x0i + 1)
+    c = sl(y0i + 1, x0i)
+    d = sl(y0i + 1, x0i + 1)
+    top = a * (1.0 - fx) + b * fx
+    bot = c * (1.0 - fx) + d * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def warp_affine_inverse_map(img: jnp.ndarray, M: jnp.ndarray,
                             border: str = "reflect") -> jnp.ndarray:
     """cv2.warpAffine(img, M, flags=INTER_LINEAR | WARP_INVERSE_MAP):
