@@ -1,0 +1,170 @@
+"""Fused per-pixel temperature kernel.
+
+The reference evaluates the temperature models in five separate full-frame
+passes (LAB planes, chroma, WIDE sklearn predict, COLOR sklearn predict,
+fusion — ``temperature_sensor.py:792-859``).  This Pallas kernel does the
+whole per-pixel chain in one VMEM pass over row tiles:
+
+    blurred BGR u8 -> LAB(+gray, OpenCV 8-bit convention) -> chroma
+    -> scaled monomials -> WIDE poly -> COLOR poly -> isotonic interp
+    -> validity gating -> blend-band fusion -> clamp
+
+Mask logic that needs neighborhoods (stripe segmentation, dilation,
+inpainting) stays in XLA ops; the kernel consumes the final boolean masks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vistaf_tpu.calib.temp_weights import TempModelWeights
+from vistaf_tpu.config import TempConfig
+
+_TILE_ROWS = 256
+
+
+def _lab_gray(b, g, r):
+    """OpenCV 8-bit LAB + gray from float BGR in [0, 255]."""
+    bb = b * (1.0 / 255.0)
+    gg = g * (1.0 / 255.0)
+    rr = r * (1.0 / 255.0)
+
+    def inv_gamma(c):
+        return jnp.where(c <= 0.04045, c * (1.0 / 12.92),
+                         ((c + 0.055) * (1.0 / 1.055)) ** 2.4)
+
+    rl = inv_gamma(rr)
+    gl = inv_gamma(gg)
+    bl = inv_gamma(bb)
+    x = (0.412453 * rl + 0.357580 * gl + 0.180423 * bl) / 0.950456
+    y = (0.212671 * rl + 0.715160 * gl + 0.072169 * bl)
+    z = (0.019334 * rl + 0.119193 * gl + 0.950227 * bl) / 1.088754
+
+    def f(t):
+        return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx = f(x)
+    fy = f(y)
+    fz = f(z)
+    L = jnp.where(y > 0.008856, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    A = 500.0 * (fx - fy) + 128.0
+    B = 200.0 * (fy - fz) + 128.0
+    L8 = jnp.clip(jnp.round(L * (255.0 / 100.0)), 0.0, 255.0)
+    A8 = jnp.clip(jnp.round(A), 0.0, 255.0)
+    B8 = jnp.clip(jnp.round(B), 0.0, 255.0)
+    gray = jnp.round(0.299 * r + 0.587 * g + 0.114 * b)
+    return L8, A8, B8, gray
+
+
+def _poly_eval(feats, weights: TempModelWeights):
+    """Unrolled scaled-monomial evaluation (static exponent table)."""
+    scaled = [(feats[i] - float(weights.scaler_mean[i])) / float(weights.scaler_scale[i])
+              for i in range(len(feats))]
+    out = jnp.full_like(feats[0], float(weights.intercept))
+    powers = np.asarray(weights.powers)
+    coef = np.asarray(weights.coef)
+    for p in range(powers.shape[0]):
+        c = float(coef[p])
+        if c == 0.0:
+            continue
+        term = None
+        for f in range(powers.shape[1]):
+            e = int(powers[p, f])
+            for _ in range(e):
+                term = scaled[f] if term is None else term * scaled[f]
+        out = out if term is None else out + c * term
+        if term is None:
+            out = out + c
+    return out
+
+
+def _isotonic(pred, iso_x: np.ndarray, iso_y: np.ndarray):
+    """Piecewise-linear monotone interpolation with clipping, unrolled over
+    the (static, small) knot table."""
+    x = np.asarray(iso_x, np.float64)
+    y = np.asarray(iso_y, np.float64)
+    out = jnp.full_like(pred, float(y[0]))
+    for i in range(len(x) - 1):
+        x0, x1 = float(x[i]), float(x[i + 1])
+        y0, y1 = float(y[i]), float(y[i + 1])
+        if x1 <= x0:
+            continue
+        t = (pred - x0) / (x1 - x0)
+        seg = y0 + jnp.clip(t, 0.0, 1.0) * (y1 - y0)
+        out = jnp.where(pred >= x0, seg, out)
+    return out
+
+
+def _make_kernel(cfg: TempConfig, color: TempModelWeights, wide: TempModelWeights):
+    def kernel(bgr_ref, roieff_ref, csup_ref, wide_out, color_out):
+        b = bgr_ref[..., 0].astype(jnp.float32)
+        g = bgr_ref[..., 1].astype(jnp.float32)
+        r = bgr_ref[..., 2].astype(jnp.float32)
+        L, A, B, gray = _lab_gray(b, g, r)
+
+        roi_eff = roieff_ref[...] > 0
+        csup = csup_ref[...] > 0
+
+        wide_pred = _poly_eval((L, A, B, gray), wide)
+        if wide.iso_x is not None:
+            wide_pred = _isotonic(wide_pred, wide.iso_x, wide.iso_y)
+        color_pred = _poly_eval((L, A, B), color)
+        if color.iso_x is not None:
+            color_pred = _isotonic(color_pred, color.iso_x, color.iso_y)
+
+        wide_out[...] = jnp.where(roi_eff, wide_pred, jnp.nan).astype(jnp.float32)
+        color_out[...] = jnp.where(csup, color_pred, jnp.nan).astype(jnp.float32)
+
+    return kernel
+
+
+def make_fused_temperature_fn(cfg: TempConfig, color: TempModelWeights,
+                              wide: TempModelWeights, interpret: bool = False):
+    """Build a jitted (blurred_bgr, roi_eff, color_support) ->
+    (wide_map_raw, color_map_raw) function with the weights baked into the
+    kernel.  Maps are NaN outside their domains."""
+    kernel = _make_kernel(cfg, color, wide)
+
+    @jax.jit
+    def fn(blurred_bgr, roi_eff, color_support):
+        h, w = blurred_bgr.shape[:2]
+        tile = min(_TILE_ROWS, h)
+        grid = (pl.cdiv(h, tile),)
+        wide_map, color_map = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, w, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((h, w), jnp.float32),
+                jax.ShapeDtypeStruct((h, w), jnp.float32),
+            ),
+            interpret=interpret,
+        )(blurred_bgr, roi_eff.astype(jnp.uint8), color_support.astype(jnp.uint8))
+        return wide_map, color_map
+
+    return fn
+
+
+def fused_temperature_maps(blurred_bgr: jnp.ndarray, roi_eff: jnp.ndarray,
+                           color_support: jnp.ndarray,
+                           cfg: TempConfig, color: TempModelWeights,
+                           wide: TempModelWeights,
+                           interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-pass raw WIDE/COLOR prediction maps (NaN outside their domains),
+    replacing the separate LAB + predict passes."""
+    fn = make_fused_temperature_fn(cfg, color, wide, interpret=interpret)
+    return fn(blurred_bgr, roi_eff, color_support)
