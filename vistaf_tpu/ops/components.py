@@ -56,7 +56,10 @@ def label(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
         lab, _ = state
         new = _neighbor_min(lab, mask, connectivity)
         flat = new.ravel()
-        for _ in range(3):
+        # aggressive path compression: 8 pointer-halving steps collapse
+        # parent chains up to 2^8 long per round, so outer rounds scale with
+        # log of the component diameter rather than the diameter itself
+        for _ in range(8):
             flat = jump(flat)
         new = flat.reshape(h, w)
         changed = jnp.any(new != lab)
@@ -96,7 +99,17 @@ def filter_components_by_peak(mask: jnp.ndarray, values: jnp.ndarray,
                               min_area_px: int = 0) -> jnp.ndarray:
     """Keep components whose per-component max of ``values`` >= threshold
     (and area >= min_area_px).  Used by the contact-blob depth filter
-    (``shape_ftp.py:1215-1271``)."""
+    (``shape_ftp.py:1215-1271``).
+
+    Without an area constraint (the reference default) this is exactly
+    geodesic reconstruction from the deep-enough seed pixels — no labeling
+    needed.  With ``min_area_px`` the label-based path runs instead.
+    """
+    if not min_area_px or min_area_px <= 0:
+        from vistaf_tpu.ops.morphology import reconstruct
+        seed = mask & (values >= threshold)
+        return reconstruct(seed, mask)
+
     h, w = mask.shape
     n = h * w
     labels = label(mask, 8)
@@ -106,8 +119,7 @@ def filter_components_by_peak(mask: jnp.ndarray, values: jnp.ndarray,
     v = jnp.where(valid, values.ravel(), -3e38)
     peaks = jnp.full((n,), -3e38, jnp.float32).at[key].max(v.astype(jnp.float32))
     keep = peaks[key] >= threshold
-    if min_area_px and min_area_px > 0:
-        areas = component_areas(labels)
-        keep = keep & (areas[key] >= min_area_px)
+    areas = component_areas(labels)
+    keep = keep & (areas[key] >= min_area_px)
     keep = keep & valid
     return keep.reshape(h, w)

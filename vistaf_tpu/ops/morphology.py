@@ -16,7 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401  (kernel constructors)
 
 _NEG = -3.0e38
 _POS = 3.0e38
@@ -129,6 +129,35 @@ def gray_dilate(x: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
 
 def gray_erode(x: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
     return _morph(x, footprint, False)
+
+
+def reconstruct(seed: jnp.ndarray, mask: jnp.ndarray,
+                max_iters: int = 4096) -> jnp.ndarray:
+    """Morphological reconstruction by dilation: grow ``seed`` inside
+    ``mask`` (8-connectivity) to a fixed point — i.e., select exactly the
+    connected components of ``mask`` that contain a seed pixel.
+
+    Pure 3x3 max-pool + mask per step (VPU), several dilations per loop
+    round; replaces per-component labeling for "keep blobs containing X"
+    queries like the contact-blob peak filter (``shape_ftp.py:1215-1271``).
+    """
+    import jax
+
+    fp = np.ones((3, 3), dtype=bool)
+    s = (seed & mask)
+
+    def body(state):
+        s, _ = state
+        grown = s
+        for _ in range(8):  # 8 dilation steps per convergence check
+            grown = dilate(grown, fp) & mask
+        return grown, jnp.any(grown != s)
+
+    def cond(state):
+        return state[1]
+
+    out, _ = jax.lax.while_loop(cond, body, (s, jnp.bool_(True)))
+    return out
 
 
 def dilate_disk_px(mask: jnp.ndarray, px: int) -> jnp.ndarray:
