@@ -200,6 +200,10 @@ class TempConfig:
     final_smooth_sigma_across: float = 6.0
     final_smooth_sigma_along: float = 1.0
 
+    # TPU knob: evaluate LAB + chroma + both Huber-poly models + isotonic in
+    # one fused Pallas VMEM pass (vistaf_tpu.pallas.temp_kernel)
+    use_fused_kernel: bool = False
+
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5
 

@@ -102,14 +102,17 @@ def _isotonic(pred, iso_x: np.ndarray, iso_y: np.ndarray):
 
 
 def _make_kernel(cfg: TempConfig, color: TempModelWeights, wide: TempModelWeights):
-    def kernel(bgr_ref, roieff_ref, csup_ref, wide_out, color_out):
+    def kernel(bgr_ref, roieff_ref, csup_ref, wide_out, color_out, csup_out):
         b = bgr_ref[..., 0].astype(jnp.float32)
         g = bgr_ref[..., 1].astype(jnp.float32)
         r = bgr_ref[..., 2].astype(jnp.float32)
         L, A, B, gray = _lab_gray(b, g, r)
 
         roi_eff = roieff_ref[...] > 0
-        csup = csup_ref[...] > 0
+        # csup_ref carries the morphology-side gate (dilated light stripes,
+        # saturation exclusion); the chroma gate fuses here
+        chroma = jnp.sqrt((A - 128.0) ** 2 + (B - 128.0) ** 2)
+        csup = (csup_ref[...] > 0) & (chroma >= float(cfg.color_chroma_min))
 
         wide_pred = _poly_eval((L, A, B, gray), wide)
         if wide.iso_x is not None:
@@ -120,6 +123,7 @@ def _make_kernel(cfg: TempConfig, color: TempModelWeights, wide: TempModelWeight
 
         wide_out[...] = jnp.where(roi_eff, wide_pred, jnp.nan).astype(jnp.float32)
         color_out[...] = jnp.where(csup, color_pred, jnp.nan).astype(jnp.float32)
+        csup_out[...] = csup.astype(jnp.uint8)
 
     return kernel
 
@@ -132,11 +136,11 @@ def make_fused_temperature_fn(cfg: TempConfig, color: TempModelWeights,
     kernel = _make_kernel(cfg, color, wide)
 
     @jax.jit
-    def fn(blurred_bgr, roi_eff, color_support):
+    def fn(blurred_bgr, roi_eff, color_support_pre):
         h, w = blurred_bgr.shape[:2]
         tile = min(_TILE_ROWS, h)
         grid = (pl.cdiv(h, tile),)
-        wide_map, color_map = pl.pallas_call(
+        wide_map, color_map, csup = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -147,24 +151,31 @@ def make_fused_temperature_fn(cfg: TempConfig, color: TempModelWeights,
             out_specs=(
                 pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((h, w), jnp.float32),
                 jax.ShapeDtypeStruct((h, w), jnp.float32),
+                jax.ShapeDtypeStruct((h, w), jnp.uint8),
             ),
             interpret=interpret,
-        )(blurred_bgr, roi_eff.astype(jnp.uint8), color_support.astype(jnp.uint8))
-        return wide_map, color_map
+        )(blurred_bgr, roi_eff.astype(jnp.uint8), color_support_pre.astype(jnp.uint8))
+        return wide_map, color_map, csup > 0
 
     return fn
 
 
 def fused_temperature_maps(blurred_bgr: jnp.ndarray, roi_eff: jnp.ndarray,
-                           color_support: jnp.ndarray,
+                           color_support_pre: jnp.ndarray,
                            cfg: TempConfig, color: TempModelWeights,
                            wide: TempModelWeights,
-                           interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One-pass raw WIDE/COLOR prediction maps (NaN outside their domains),
-    replacing the separate LAB + predict passes."""
+                           interpret: bool = False):
+    """One-pass raw WIDE/COLOR prediction maps (NaN outside their domains)
+    plus the final chroma-gated color-support mask, replacing the separate
+    LAB + chroma + predict passes.
+
+    ``color_support_pre`` is the morphology-side gate (dilated light stripes
+    & roi_eff & ~sat); the chroma >= color_chroma_min condition fuses into
+    the kernel."""
     fn = make_fused_temperature_fn(cfg, color, wide, interpret=interpret)
-    return fn(blurred_bgr, roi_eff, color_support)
+    return fn(blurred_bgr, roi_eff, color_support_pre)

@@ -104,6 +104,10 @@ class TemperaturePipeline:
             self._roi_full = self._roi_outer
         self._crop_bbox = (geometry.bbox_from_mask(self._roi_outer, pad=cfg.crop_pad_px)
                            if cfg.crop_output_to_outer_roi else None)
+        self._fused_fn = None
+        if cfg.use_fused_kernel:
+            from vistaf_tpu.pallas.temp_kernel import make_fused_temperature_fn
+            self._fused_fn = make_fused_temperature_fn(cfg, color_model, wide_model)
         self._forward = jax.jit(self._forward_impl)
 
     # ------------------------------------------------------------------
@@ -139,24 +143,32 @@ class TemperaturePipeline:
             blurred = jnp.stack(ch, axis=-1)
         else:
             blurred = frame_bgr.astype(jnp.float32)
-        lab = bgr_to_lab_u8(blurred)
-        L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
-        gray = bgr_to_gray(blurred)
-        chroma = chroma_ab(a, b)
 
-        # --- color support (temperature_sensor.py:797-799)
         light_d = dilate(seg.light, ellipse_kernel(cfg.color_support_dilate | 1,
                                                    cfg.color_support_dilate | 1))
-        color_support = light_d & seg.roi_eff & ~seg.sat & (chroma >= cfg.color_chroma_min)
+        csup_pre = light_d & seg.roi_eff & ~seg.sat
 
-        # --- model predictions
-        feats_wide = jnp.stack([L, a, b, gray], axis=-1)
-        wide_pred = self.wide_model.predict(feats_wide)
-        wide_map_raw = jnp.where(seg.roi_eff, wide_pred, jnp.nan)
+        if self._fused_fn is not None:
+            # fused Pallas path: LAB + chroma + both models in one VMEM pass
+            wide_map_raw, color_map_raw, color_support = self._fused_fn(
+                blurred, seg.roi_eff, csup_pre)
+        else:
+            lab = bgr_to_lab_u8(blurred)
+            L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+            gray = bgr_to_gray(blurred)
+            chroma = chroma_ab(a, b)
 
-        feats_color = jnp.stack([L, a, b], axis=-1)
-        color_pred = self.color_model.predict(feats_color)
-        color_map_raw = jnp.where(color_support, color_pred, jnp.nan)
+            # --- color support (temperature_sensor.py:797-799)
+            color_support = csup_pre & (chroma >= cfg.color_chroma_min)
+
+            # --- model predictions
+            feats_wide = jnp.stack([L, a, b, gray], axis=-1)
+            wide_pred = self.wide_model.predict(feats_wide)
+            wide_map_raw = jnp.where(seg.roi_eff, wide_pred, jnp.nan)
+
+            feats_color = jnp.stack([L, a, b], axis=-1)
+            color_pred = self.color_model.predict(feats_color)
+            color_map_raw = jnp.where(color_support, color_pred, jnp.nan)
 
         # --- per-domain inpainting + clamping (temperature_sensor.py:836-840)
         wide_map = inpaint_within_roi(wide_map_raw, roi_full, ~jnp.isfinite(wide_map_raw) & roi_full,

@@ -49,18 +49,25 @@ def annulus_roi(h: int, w: int, inner_pts, outer_pts) -> np.ndarray:
 # Feature extraction (device-side)
 # ---------------------------------------------------------------------------
 
+_PLANES_JIT = None
+
+
 def _feature_planes_device(img_bgr: np.ndarray):
+    """Jitted (and cached) LAB+gray plane extraction."""
+    global _PLANES_JIT
     import jax
     import jax.numpy as jnp
-    from vistaf_tpu.ops.color import bgr_to_gray, bgr_to_lab_u8
+    if _PLANES_JIT is None:
+        from vistaf_tpu.ops.color import bgr_to_gray, bgr_to_lab_u8
 
-    @jax.jit
-    def planes(img):
-        lab = bgr_to_lab_u8(img)
-        gray = bgr_to_gray(img)
-        return lab[..., 0], lab[..., 1], lab[..., 2], gray
+        @jax.jit
+        def planes(img):
+            lab = bgr_to_lab_u8(img)
+            gray = bgr_to_gray(img)
+            return lab[..., 0], lab[..., 1], lab[..., 2], gray
 
-    return planes(jnp.asarray(img_bgr))
+        _PLANES_JIT = planes
+    return _PLANES_JIT(jnp.asarray(img_bgr))
 
 
 def mean_features_for_sequence(files: Sequence[str], mask: np.ndarray,
