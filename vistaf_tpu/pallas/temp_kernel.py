@@ -29,6 +29,12 @@ from vistaf_tpu.config import TempConfig
 _TILE_ROWS = 256
 
 
+def _cbrt(t):
+    """Cube root for t >= 0 (Mosaic TPU has no cbrt primitive; use
+    exp(log(t)/3) with a floor — inputs here are XYZ ratios in [0, ~1.09])."""
+    return jnp.exp(jnp.log(jnp.maximum(t, 1e-30)) * (1.0 / 3.0))
+
+
 def _lab_gray(b, g, r):
     """OpenCV 8-bit LAB + gray from float BGR in [0, 255]."""
     bb = b * (1.0 / 255.0)
@@ -47,12 +53,12 @@ def _lab_gray(b, g, r):
     z = (0.019334 * rl + 0.119193 * gl + 0.950227 * bl) / 1.088754
 
     def f(t):
-        return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+        return jnp.where(t > 0.008856, _cbrt(t), 7.787 * t + 16.0 / 116.0)
 
     fx = f(x)
     fy = f(y)
     fz = f(z)
-    L = jnp.where(y > 0.008856, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    L = jnp.where(y > 0.008856, 116.0 * _cbrt(y) - 16.0, 903.3 * y)
     A = 500.0 * (fx - fy) + 128.0
     B = 200.0 * (fy - fz) + 128.0
     L8 = jnp.clip(jnp.round(L * (255.0 / 100.0)), 0.0, 255.0)

@@ -22,7 +22,7 @@ from vistaf_tpu.ops.color import bgr_to_gray, bgr_to_lab_u8, chroma_ab
 from vistaf_tpu.ops.filters import gaussian_blur, gaussian_blur_u8_round
 from vistaf_tpu.ops.inpaint import inpaint_within_roi
 from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
-from vistaf_tpu.ops.warp import rotation_matrix, warp_affine_forward
+from vistaf_tpu.ops.warp import rotation_matrix
 from vistaf_tpu.temperature.segmentation import segment_stripes
 
 
@@ -55,6 +55,21 @@ def clamp_map(m, roi, lo, hi):
     return jnp.where(roi, out, jnp.nan)
 
 
+def _rotate_stack(stack, M):
+    """Forward-warp an (H, W, C) stack by affine M with one shared gather
+    (the map channel and its ROI-validity channel rotate together; the disk
+    ROI keeps everything of interest far from the border, so the border-mode
+    differences vs cv2 land only on pixels the ROI discards)."""
+    from vistaf_tpu.ops.warp import invert_affine, sample_bilinear_stack
+    h, w = stack.shape[:2]
+    Minv = invert_affine(M)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = Minv[0, 0] * xx + Minv[0, 1] * yy + Minv[0, 2]
+    sy = Minv[1, 0] * xx + Minv[1, 1] * yy + Minv[1, 2]
+    return sample_bilinear_stack(stack, sy, sx)
+
+
 def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along):
     """Rotate so across-stripe direction aligns with +x, anisotropic blur,
     rotate back (``temperature_sensor.py:705-742``)."""
@@ -66,15 +81,16 @@ def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along):
 
     map0 = jnp.where(jnp.isfinite(map_f), map_f, 0.0)
     M = rotation_matrix(center, angle_deg)
-    rot_map = warp_affine_forward(map0, M, border="reflect")
-    rot_roi = warp_affine_forward(roi.astype(jnp.float32), M, border="constant0") > 0.5
+    rot = _rotate_stack(jnp.stack([map0, roi.astype(jnp.float32)], axis=-1), M)
+    rot_map = rot[..., 0]
+    rot_roi = rot[..., 1] > 0.5
 
     blurred = gaussian_blur(rot_map, float(max(sigma_across, 1e-6)), float(max(sigma_along, 1e-6)))
 
     M_inv = rotation_matrix(center, -angle_deg)
-    back = warp_affine_forward(blurred, M_inv, border="reflect")
-    back_roi = warp_affine_forward(rot_roi.astype(jnp.float32), M_inv, border="constant0") > 0.5
-    return jnp.where(back_roi, back, jnp.nan)
+    back = _rotate_stack(jnp.stack([blurred, rot_roi.astype(jnp.float32)], axis=-1), M_inv)
+    back_roi = back[..., 1] > 0.5
+    return jnp.where(back_roi, back[..., 0], jnp.nan)
 
 
 class TemperaturePipeline:
