@@ -26,7 +26,7 @@ def small_inputs():
     """640x480 frame pair: downscaled reference demo images if available,
     else a synthetic grating scene."""
     from vistaf_tpu.utils.synthetic import scaled_ftp_config, synthetic_pair
-    cfg = scaled_ftp_config(H, W).replace(percentile_method="hist", ecc_stride=2)
+    cfg = scaled_ftp_config(H, W).deploy()
     ref_p = os.path.join(REFERENCE_ROOT, "Final_demos_images/FINAL_reference.jpg")
     def_p = os.path.join(REFERENCE_ROOT, "Final_demos_images/FINAL_E_deformed.jpg")
     if os.path.exists(ref_p):

