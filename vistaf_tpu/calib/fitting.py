@@ -315,6 +315,12 @@ def fit_hinge_saturating(x, y) -> Optional[Dict]:
     if p is None:
         return None
     a, b, c = float(p[0]), float(p[1]), float(p[2])
+    # (a, c<0) is redundant: f(x; a, b, c) == f(x; a*e^{b c}, b, 0) exactly.
+    # Canonicalize to the c=0 basin so fitted constants are comparable run
+    # to run (and to the reference's curve_fit convention).
+    if c < 0:
+        a = a * float(np.exp(b * c))
+        c = 0.0
     yhat = _f_hinge_sat(x, a, b, c)
     eq = (f"y = {a:.6g} * ((1-exp(-{b:.6g}*max(x-{c:.6g},0)))"
           f" - (1-exp(-{b:.6g}*max(0-{c:.6g},0))))")

@@ -114,11 +114,13 @@ def _make_kernel(cfg: TempConfig, color: TempModelWeights, wide: TempModelWeight
         r = bgr_ref[..., 2].astype(jnp.float32)
         L, A, B, gray = _lab_gray(b, g, r)
 
-        roi_eff = roieff_ref[...] > 0
+        # mask planes arrive as float32 (Mosaic's compare support on narrow
+        # int vectors is incomplete)
+        roi_eff = roieff_ref[...] > 0.5
         # csup_ref carries the morphology-side gate (dilated light stripes,
         # saturation exclusion); the chroma gate fuses here
         chroma = jnp.sqrt((A - 128.0) ** 2 + (B - 128.0) ** 2)
-        csup = (csup_ref[...] > 0) & (chroma >= float(cfg.color_chroma_min))
+        csup = (csup_ref[...] > 0.5) & (chroma >= float(cfg.color_chroma_min))
 
         wide_pred = _poly_eval((L, A, B, gray), wide)
         if wide.iso_x is not None:
@@ -129,7 +131,7 @@ def _make_kernel(cfg: TempConfig, color: TempModelWeights, wide: TempModelWeight
 
         wide_out[...] = jnp.where(roi_eff, wide_pred, jnp.nan).astype(jnp.float32)
         color_out[...] = jnp.where(csup, color_pred, jnp.nan).astype(jnp.float32)
-        csup_out[...] = csup.astype(jnp.uint8)
+        csup_out[...] = csup.astype(jnp.float32)
 
     return kernel
 
@@ -162,11 +164,11 @@ def make_fused_temperature_fn(cfg: TempConfig, color: TempModelWeights,
             out_shape=(
                 jax.ShapeDtypeStruct((h, w), jnp.float32),
                 jax.ShapeDtypeStruct((h, w), jnp.float32),
-                jax.ShapeDtypeStruct((h, w), jnp.uint8),
+                jax.ShapeDtypeStruct((h, w), jnp.float32),
             ),
             interpret=interpret,
-        )(blurred_bgr, roi_eff.astype(jnp.uint8), color_support_pre.astype(jnp.uint8))
-        return wide_map, color_map, csup > 0
+        )(blurred_bgr, roi_eff.astype(jnp.float32), color_support_pre.astype(jnp.float32))
+        return wide_map, color_map, csup > 0.5
 
     return fn
 
