@@ -24,6 +24,20 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Slow full-resolution golden tests run only when explicitly requested
+    (VISTAF_RUN_SLOW=1 or -m slow) — they re-run the 4K pipelines on the CPU
+    backend and take minutes each."""
+    if os.environ.get("VISTAF_RUN_SLOW") == "1":
+        return
+    if config.getoption("-m", default="") and "slow" in config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow golden test (set VISTAF_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 REFERENCE_ROOT = "/root/reference"
 
 

@@ -1,0 +1,58 @@
+"""Slow trainer goldens: full re-fits on the reference datasets must
+reproduce the published calibration metrics (BASELINE.md)."""
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, reference_available
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(), reason="reference data not mounted"),
+]
+
+
+def test_color_trainer_reproduces_reference_metrics(tmp_path):
+    """Colored-TLC trainer: degree selection and RMSE within tolerance of
+    the reference's sklearn run (global deg2, means RMSE 0.4370)."""
+    import json
+    from vistaf_tpu.trainers import temperature_color as t
+    out = t.train(
+        os.path.join(REFERENCE_ROOT, "Temperature/Heating_Colored_Temp/heating-*.jpg"),
+        os.path.join(REFERENCE_ROOT, "Temperature/Cooling_Colored_Temp/cooling_colored-*.jpg"),
+        str(tmp_path))
+    with open(os.path.join(REFERENCE_ROOT,
+                           "Temperature/Colored_Model/calibration_out/models_final_summary_metrics.json")) as f:
+        gold = json.load(f)["models_final"]
+    for name in ("heating", "cooling", "global"):
+        o = out["models_final"][name]
+        g = gold[name]
+        assert o["degree"] == g["degree"], name
+        assert abs(o["metrics_means"]["rmse_C"] - g["metrics_means"]["rmse_C"]) < 0.08, name
+        assert abs(o["metrics_frames"]["rmse_C"] - g["metrics_frames"]["rmse_C"]) < 0.08, name
+    # artifact contract
+    assert os.path.exists(tmp_path / "models_final_summary_metrics.json")
+    assert os.path.exists(tmp_path / "equations_color_models_final.txt")
+    import glob
+    assert glob.glob(str(tmp_path / "color_model_global_huber_deg*.joblib"))
+    assert glob.glob(str(tmp_path / "color_model_global_huber_deg*.npz"))
+
+
+def test_p2h_trainer_reproduces_reference_constants(tmp_path):
+    """Phase->height trainer end-to-end (4 FTP runs + fit): canonical hinge
+    constants match the reference's curve (a=2.083, b=4.204, c~0)."""
+    import json
+    from vistaf_tpu.trainers import phase_to_height as t
+    out = t.train(
+        os.path.join(REFERENCE_ROOT, "Final_demos_images/FINAL_reference.jpg"),
+        t.DEFAULT_CALIBRATION_SAMPLES,
+        os.path.join(REFERENCE_ROOT, "Force/Phase_to_height"),
+        str(tmp_path))
+    best = out["best_model"]
+    assert best["type"] == "hinge_saturating"
+    # same curve in the canonical basin; fit quality at least as good
+    assert abs(best["params"]["a"] - 2.0826) < 0.05
+    assert abs(best["params"]["b"] - 4.2044) < 0.1
+    assert abs(best["params"]["c"]) < 0.01
+    assert best["rmse"] <= 0.0030
