@@ -2,8 +2,11 @@
 
 TPU counterpart of ``temperature_black_model.py``: trains on random
 per-pixel (L, a, b, gray) samples (4000/image, saturation-excluded) so the
-model matches per-pixel inference; degrees {1,2,3}; no isotonic
-(``temperature_black_model.py:659-1004``).
+model matches per-pixel inference, but — like the reference — selects the
+polynomial degree by GroupKFold CV over *frame-mean* features
+(``temperature_black_model.py:715``) and reports metrics on frame-mean /
+per-temp-mean features (``temperature_black_model.py:770-806, 852-866``).
+Degrees {1,2,3}; no isotonic.
 """
 from __future__ import annotations
 
@@ -52,31 +55,50 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
     y_heat_full = np.repeat(np.asarray(temps_heating, float), frames_per_temp)
     y_cool_full = np.repeat(np.asarray(temps_cooling, float), frames_per_temp)
 
-    X_heat, y_heat = tc.pixel_samples_for_sequence(
+    # pixel-sample training sets (temperature_black_model.py:242-305)
+    X_heat_px, y_heat_px = tc.pixel_samples_for_sequence(
         heating_files, mask, y_heat_full, pixels_per_image, max_total_samples, seed)
-    X_cool, y_cool = tc.pixel_samples_for_sequence(
+    X_cool_px, y_cool_px = tc.pixel_samples_for_sequence(
         cooling_files, mask, y_cool_full, pixels_per_image, max_total_samples, seed)
 
-    def fit_variant(X, y, name):
-        groups = y.astype(int)
-        deg = tc.choose_degree_by_groupcv(X, y, groups, degree_candidates,
-                                          cv_splits, HUBER_EPSILON, HUBER_ALPHA)
-        model = fit_huber_poly(X, y, degree=deg, epsilon=HUBER_EPSILON, alpha=HUBER_ALPHA)
-        pred = model.predict(X)
+    # frame-mean features for degree selection + metrics
+    heat_mean = tc.mean_features_for_sequence(heating_files, mask, with_gray=True)
+    cool_mean = tc.mean_features_for_sequence(cooling_files, mask, with_gray=True)
+
+    def per_temp_feature_means(feats, temps):
+        _, blocks = tc.group_by_temperature(feats, temps, frames_per_temp)
+        return np.stack([b.mean(axis=0) for b in blocks])
+
+    heat_temp_means = per_temp_feature_means(heat_mean, temps_heating)
+    cool_temp_means = per_temp_feature_means(cool_mean, temps_cooling)
+
+    def fit_variant(X_px, y_px, X_frames, y_frames, X_means, temps, name):
+        groups = y_frames.astype(int)
+        deg = tc.choose_degree_by_groupcv(X_frames, y_frames, groups,
+                                          degree_candidates, cv_splits,
+                                          HUBER_EPSILON, HUBER_ALPHA)
+        model = fit_huber_poly(X_px, y_px, degree=deg,
+                               epsilon=HUBER_EPSILON, alpha=HUBER_ALPHA)
         weights = tc.pipeline_to_weights(model, name, USE_FEATURES, None)
-        uniq, pred_means = tc.per_temp_mean_pred(y, pred)
+        pred_frames = model.predict(X_frames)
+        pred_means = model.predict(X_means)
         return {
             "degree": deg,
             "weights": weights,
-            "metrics_frames": tc.compute_metrics(y, pred),
-            "metrics_means": tc.compute_metrics(uniq, pred_means),
+            "metrics_frames": tc.compute_metrics(y_frames, pred_frames),
+            "metrics_means": tc.compute_metrics(np.asarray(temps, float), pred_means),
         }
 
-    heating = fit_variant(X_heat, y_heat, "black_model_heating")
-    cooling = fit_variant(X_cool, y_cool, "black_model_cooling")
-    X_all = np.vstack([X_heat, X_cool])
-    y_all = np.concatenate([y_heat, y_cool])
-    global_ = fit_variant(X_all, y_all, "wide_model")
+    heating = fit_variant(X_heat_px, y_heat_px, heat_mean, y_heat_full,
+                          heat_temp_means, temps_heating, "black_model_heating")
+    cooling = fit_variant(X_cool_px, y_cool_px, cool_mean, y_cool_full,
+                          cool_temp_means, temps_cooling, "black_model_cooling")
+    global_ = fit_variant(
+        np.vstack([X_heat_px, X_cool_px]), np.concatenate([y_heat_px, y_cool_px]),
+        np.vstack([heat_mean, cool_mean]), np.concatenate([y_heat_full, y_cool_full]),
+        np.vstack([heat_temp_means, cool_temp_means]),
+        np.concatenate([np.asarray(temps_heating, float), np.asarray(temps_cooling, float)]),
+        "wide_model")
 
     eqs = {k: tc.equation_string(v["weights"]) for k, v in
            (("heating", heating), ("cooling", cooling), ("global", global_))}
