@@ -108,10 +108,12 @@ def _isotonic(pred, iso_x: np.ndarray, iso_y: np.ndarray):
 
 
 def _make_kernel(cfg: TempConfig, color: TempModelWeights, wide: TempModelWeights):
-    def kernel(bgr_ref, roieff_ref, csup_ref, wide_out, color_out, csup_out):
-        b = bgr_ref[..., 0].astype(jnp.float32)
-        g = bgr_ref[..., 1].astype(jnp.float32)
-        r = bgr_ref[..., 2].astype(jnp.float32)
+    def kernel(b_ref, g_ref, r_ref, roieff_ref, csup_ref, wide_out, color_out, csup_out):
+        # channels arrive as separate (tile, w) planes: a trailing dim of 3
+        # would land in the lane dimension and cripple Mosaic's layout
+        b = b_ref[...]
+        g = g_ref[...]
+        r = r_ref[...]
         L, A, B, gray = _lab_gray(b, g, r)
 
         # mask planes arrive as float32 (Mosaic's compare support on narrow
@@ -148,14 +150,11 @@ def make_fused_temperature_fn(cfg: TempConfig, color: TempModelWeights,
         h, w = blurred_bgr.shape[:2]
         tile = min(_TILE_ROWS, h)
         grid = (pl.cdiv(h, tile),)
+        plane = pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
         wide_map, color_map, csup = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((tile, w, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=[plane] * 5,
             out_specs=(
                 pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -167,7 +166,10 @@ def make_fused_temperature_fn(cfg: TempConfig, color: TempModelWeights,
                 jax.ShapeDtypeStruct((h, w), jnp.float32),
             ),
             interpret=interpret,
-        )(blurred_bgr, roi_eff.astype(jnp.float32), color_support_pre.astype(jnp.float32))
+        )(blurred_bgr[..., 0].astype(jnp.float32),
+          blurred_bgr[..., 1].astype(jnp.float32),
+          blurred_bgr[..., 2].astype(jnp.float32),
+          roi_eff.astype(jnp.float32), color_support_pre.astype(jnp.float32))
         return wide_map, color_map, csup > 0.5
 
     return fn

@@ -58,8 +58,9 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
     # pixel-sample training sets (temperature_black_model.py:242-305)
     X_heat_px, y_heat_px = tc.pixel_samples_for_sequence(
         heating_files, mask, y_heat_full, pixels_per_image, max_total_samples, seed)
+    # cooling uses seed+1 (temperature_black_model.py:747)
     X_cool_px, y_cool_px = tc.pixel_samples_for_sequence(
-        cooling_files, mask, y_cool_full, pixels_per_image, max_total_samples, seed)
+        cooling_files, mask, y_cool_full, pixels_per_image, max_total_samples, seed + 1)
 
     # frame-mean features for degree selection + metrics
     heat_mean = tc.mean_features_for_sequence(heating_files, mask, with_gray=True)
@@ -93,12 +94,16 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
                           heat_temp_means, temps_heating, "black_model_heating")
     cooling = fit_variant(X_cool_px, y_cool_px, cool_mean, y_cool_full,
                           cool_temp_means, temps_cooling, "black_model_cooling")
+    # global per-temp means merge heating+cooling frames per unique temp
+    # (temperature_black_model.py:796-805)
+    X_all_frames = np.vstack([heat_mean, cool_mean])
+    y_all_frames = np.concatenate([y_heat_full, y_cool_full])
+    uniq_T = np.array(sorted(set(y_all_frames.astype(int).tolist())), float)
+    X_all_means = np.stack([X_all_frames[y_all_frames.astype(int) == int(t)].mean(axis=0)
+                            for t in uniq_T])
     global_ = fit_variant(
         np.vstack([X_heat_px, X_cool_px]), np.concatenate([y_heat_px, y_cool_px]),
-        np.vstack([heat_mean, cool_mean]), np.concatenate([y_heat_full, y_cool_full]),
-        np.vstack([heat_temp_means, cool_temp_means]),
-        np.concatenate([np.asarray(temps_heating, float), np.asarray(temps_cooling, float)]),
-        "wide_model")
+        X_all_frames, y_all_frames, X_all_means, uniq_T, "wide_model")
 
     eqs = {k: tc.equation_string(v["weights"]) for k, v in
            (("heating", heating), ("cooling", cooling), ("global", global_))}

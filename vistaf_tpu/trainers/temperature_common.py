@@ -49,25 +49,22 @@ def annulus_roi(h: int, w: int, inner_pts, outer_pts) -> np.ndarray:
 # Feature extraction (device-side)
 # ---------------------------------------------------------------------------
 
-_PLANES_JIT = None
-
-
 def _feature_planes_device(img_bgr: np.ndarray):
-    """Jitted (and cached) LAB+gray plane extraction."""
-    global _PLANES_JIT
-    import jax
-    import jax.numpy as jnp
-    if _PLANES_JIT is None:
-        from vistaf_tpu.ops.color import bgr_to_gray, bgr_to_lab_u8
+    """LAB+gray plane extraction for trainers — bit-exact OpenCV-convention
+    features.
 
-        @jax.jit
-        def planes(img):
-            lab = bgr_to_lab_u8(img)
-            gray = bgr_to_gray(img)
-            return lab[..., 0], lab[..., 1], lab[..., 2], gray
-
-        _PLANES_JIT = planes
-    return _PLANES_JIT(jnp.asarray(img_bgr))
+    The temperature models' feature scales are tiny (the black model's a/b
+    std is ~2-3 LAB units), so trainer features must be bit-identical to the
+    cv2 integer LAB the reference trained on: a ±1 LSB float approximation
+    measurably shifts GroupKFold degree selection (deg3 -> deg2 on the black
+    global model).  Training is an offline host batch job, so cv2 is the
+    right tool here; the on-device inference path keeps the float LAB
+    (validated within 0.1 °C end-to-end).
+    """
+    import cv2
+    lab = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2LAB).astype(np.float32)
+    gray = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    return lab[..., 0], lab[..., 1], lab[..., 2], gray
 
 
 def mean_features_for_sequence(files: Sequence[str], mask: np.ndarray,
