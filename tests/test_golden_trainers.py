@@ -39,6 +39,27 @@ def test_color_trainer_reproduces_reference_metrics(tmp_path):
     assert glob.glob(str(tmp_path / "color_model_global_huber_deg*.npz"))
 
 
+def test_black_trainer_reproduces_reference_metrics(tmp_path):
+    """Black-TLC trainer: per-model degrees and RMSEs match the reference
+    (validated run: heating deg1 3.065/3.064, cooling deg2 2.776/2.780,
+    global deg3 means 1.870 vs published 1.927)."""
+    import json
+    from vistaf_tpu.trainers import temperature_black as t
+    out = t.train(
+        os.path.join(REFERENCE_ROOT, "Temperature/Heating_MixedColorBlack_Temp/heating_mixed-*.jpg"),
+        os.path.join(REFERENCE_ROOT, "Temperature/Cooling_MixedColorBlack_Temp/cooling_mixed-*.jpg"),
+        str(tmp_path))
+    with open(os.path.join(REFERENCE_ROOT,
+                           "Temperature/MixedColorBlack_Model/calibration_out/models_final_summary_metrics.json")) as f:
+        gold = json.load(f)["models_final"]
+    for name in ("heating", "cooling", "global"):
+        o = out["models_final"][name]
+        g = gold[name]
+        assert o["degree"] == g["degree"], name
+        assert abs(o["metrics_frames"]["rmse_C"] - g["metrics_frames"]["rmse_C"]) < 0.15, name
+        assert o["metrics_means"]["rmse_C"] < g["metrics_means"]["rmse_C"] + 0.15, name
+
+
 def test_p2h_trainer_reproduces_reference_constants(tmp_path):
     """Phase->height trainer end-to-end (4 FTP runs + fit): canonical hinge
     constants match the reference's curve (a=2.083, b=4.204, c~0)."""

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vistaf_tpu.calib.temp_weights import TempModelWeights
 from vistaf_tpu.config import TempConfig
 
-_TILE_ROWS = 256
+_TILE_ROWS = 32
 
 
 def _cbrt(t):
