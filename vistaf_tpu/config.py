@@ -214,6 +214,16 @@ class TempConfig:
     # TPU knob: evaluate LAB + chroma + both Huber-poly models + isotonic in
     # one fused Pallas VMEM pass (vistaf_tpu.pallas.temp_kernel)
     use_fused_kernel: bool = False
+    # 'sort' (exact) or 'hist' percentiles for segmentation statistics
+    percentile_method: str = "sort"
+    # diffusion-inpaint iteration budgets (wide / color domains)
+    wide_inpaint_iters: int = 96
+    color_inpaint_iters: int = 48
+
+    def deploy(self) -> "TempConfig":
+        """Latency-oriented TPU preset."""
+        return self.replace(percentile_method="hist", use_fused_kernel=True,
+                            wide_inpaint_iters=48, color_inpaint_iters=24)
 
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5

@@ -188,12 +188,12 @@ class TemperaturePipeline:
 
         # --- per-domain inpainting + clamping (temperature_sensor.py:836-840)
         wide_map = inpaint_within_roi(wide_map_raw, roi_full, ~jnp.isfinite(wide_map_raw) & roi_full,
-                                      iters=96, quantize_u8=True)
+                                      iters=cfg.wide_inpaint_iters, quantize_u8=True)
         wide_map = clamp_map(wide_map, roi_full, cfg.final_t_min, cfg.final_t_max)
 
         color_map = inpaint_within_roi(color_map_raw, color_support,
                                        ~jnp.isfinite(color_map_raw) & color_support,
-                                       iters=48, quantize_u8=True)
+                                       iters=cfg.color_inpaint_iters, quantize_u8=True)
         color_map = clamp_map(color_map, color_support,
                               cfg.color_t_min - 5.0, cfg.color_t_max + 5.0)
 

@@ -21,7 +21,7 @@ from vistaf_tpu.ops import fftops
 from vistaf_tpu.ops.filters import gaussian_blur
 from vistaf_tpu.ops.morphology import close as morph_close
 from vistaf_tpu.ops.morphology import dilate, ellipse_kernel, open_ as morph_open, rect_kernel
-from vistaf_tpu.ops.percentile import masked_mean, masked_median
+from vistaf_tpu.ops.percentile import get_percentile_fn, masked_mean
 
 
 class SegmentationResult(NamedTuple):
@@ -52,7 +52,7 @@ def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
     sat = saturation_mask(gray, roi, cfg)
     roi_eff = roi & ~sat
 
-    med = masked_median(gray, roi_eff)
+    med = get_percentile_fn(cfg.percentile_method)(gray, roi_eff, 50.0)
     g = jnp.where(roi, gray, med)
 
     # illumination normalization (temperature_sensor.py:363-375)
