@@ -22,6 +22,18 @@ def test_edt_all_true_returns_large():
     assert np.all(out > 10)  # no seeds: effectively infinite distance
 
 
+def test_edt_max_dist_exact_below_cap(rng):
+    mask = rng.random((80, 96)) > 0.35
+    mask[0, :] = False
+    full = np.asarray(distance.distance_transform_edt(jnp.asarray(mask)))
+    capped = np.asarray(distance.distance_transform_edt(jnp.asarray(mask), max_dist=8))
+    sel = full <= 8.0
+    err = np.abs(capped[sel] - full[sel])
+    assert err.max() < 0.5
+    # beyond the cap values may only be >= the cap region's truth
+    assert (capped[~sel] >= 8.0 - 1e-3).all()
+
+
 def test_erode_by_distance(rng):
     mask = np.zeros((40, 40), dtype=bool)
     mask[5:35, 5:35] = True

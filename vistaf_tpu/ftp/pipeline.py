@@ -287,7 +287,7 @@ class FTPPipeline:
         # --- frontier inside taper (shape_ftp.py:1803-1814)
         if cfg.frontier_zero_enable and cfg.frontier_zero_band_px > 0:
             rel = output_reliable
-            dist_in = distance_transform_edt(rel)
+            dist_in = distance_transform_edt(rel, max_dist=cfg.frontier_zero_band_px + 4)
             dist_in_edge = jnp.maximum(dist_in - 1.0, 0.0)
             wgt = _curve01(dist_in_edge / max(1e-6, float(cfg.frontier_zero_band_px)),
                            cfg.frontier_zero_curve)
@@ -307,7 +307,8 @@ class FTPPipeline:
 
         # --- frontier outside band -> base (shape_ftp.py:1826-1837)
         if cfg.frontier_zero_enable and cfg.frontier_zero_band_px > 0:
-            dist_out = distance_transform_edt(~output_reliable)
+            dist_out = distance_transform_edt(~output_reliable,
+                                              max_dist=cfg.frontier_zero_band_px + 4)
             dist_out_edge = jnp.maximum(dist_out - 1.0, 0.0)
             outside_band = roi & ~output_reliable & (dist_out_edge <= float(cfg.frontier_zero_band_px))
             height_final = jnp.where(outside_band, jnp.float32(cfg.unreliable_base_value), height_final)

@@ -36,12 +36,17 @@ def _shift2(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     return out
 
 
-@jax.jit
-def distance_transform_edt(mask: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def distance_transform_edt(mask: jnp.ndarray, max_dist: int = 0) -> jnp.ndarray:
     """For each True pixel, Euclidean distance to the nearest False pixel
     (cv2.distanceTransform semantics: nonzero -> distance to nearest zero).
 
     Returns float32; 0 on False pixels.
+
+    ``max_dist`` > 0 bounds the flood schedule: distances <= max_dist stay
+    (near-)exact while farther pixels may report inflated values — use when
+    the consumer only compares against thresholds <= max_dist (tapers,
+    margins), cutting the number of sequential flood rounds.
     """
     h, w = mask.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -60,7 +65,7 @@ def distance_transform_edt(mask: jnp.ndarray) -> jnp.ndarray:
     coords = jnp.stack([ny, nx], axis=-1)
 
     step = 1
-    size = max(h, w)
+    size = max(h, w) if max_dist <= 0 else min(max(h, w), 2 * int(max_dist))
     steps = []
     while step < size:
         step *= 2
@@ -92,5 +97,5 @@ def erode_by_distance(mask: jnp.ndarray, margin_px: float) -> jnp.ndarray:
     (``shape_ftp.py:721-726``)."""
     if margin_px <= 0:
         return mask
-    dist = distance_transform_edt(mask)
+    dist = distance_transform_edt(mask, max_dist=2 * int(margin_px) + 2)
     return (dist > float(margin_px)) & mask

@@ -86,8 +86,10 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
 
-    def body(_, state):
-        phi, r, p, rz = state
+    r0_norm = jnp.vdot(r0, r0)
+
+    def body(state):
+        phi, r, p, rz, it = state
         Ap = _apply_wlap(p, wx, wy)
         pAp = jnp.vdot(p, Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
@@ -97,9 +99,14 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = z + beta * p
-        return phi, r, p, rz_new
+        return phi, r, p, rz_new, it + 1
 
-    phi, r, _, _ = jax.lax.fori_loop(0, cg_iters, body, (phi0, r0, p0, rz0))
+    def cond(state):
+        phi, r, p, rz, it = state
+        return (it < cg_iters) & (jnp.vdot(r, r) > tol * tol * r0_norm)
+
+    phi, r, _, _, _ = jax.lax.while_loop(
+        cond, body, (phi0, r0, p0, rz0, jnp.int32(0)))
 
     # gauge: congruence with the wrapped input on the masked mean
     n = jnp.maximum(jnp.sum(m), 1.0)
