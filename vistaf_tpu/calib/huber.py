@@ -15,7 +15,6 @@ Used by the temperature-model trainers (``temperature_color_model.py:333-342``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import numpy as np
 

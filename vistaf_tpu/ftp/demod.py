@@ -22,7 +22,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vistaf_tpu.config import FTPConfig
 from vistaf_tpu.ops import fftops

@@ -20,7 +20,6 @@ the graph has a static shape.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 

@@ -7,7 +7,6 @@ TPU path is numerically interchangeable with the reference's cv2 calls.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

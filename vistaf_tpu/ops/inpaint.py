@@ -15,7 +15,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 def _avg3(x: jnp.ndarray) -> jnp.ndarray:
     """3x3 box sum via shift-adds (VPU) with edge-replicate border."""

@@ -11,7 +11,6 @@ Reference usages: ``shape_ftp.py:641-647`` (bad-pixel dilate),
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

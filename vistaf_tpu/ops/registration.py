@@ -18,7 +18,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from vistaf_tpu.ops.warp import sample_bilinear
 
 
 # ---------------------------------------------------------------------------

@@ -6,7 +6,6 @@ rotation (``shape_ftp.py:570-587``, ``shape_ftp.py:1489-1491``,
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -14,8 +14,6 @@ inpainting) stays in XLA ops; the kernel consumes the final boolean masks.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ Design (SURVEY.md §5 "distributed communication backend"):
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -19,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vistaf_tpu.config import FTPConfig
 from vistaf_tpu.ftp.pipeline import FTPPipeline
 from vistaf_tpu.pipelines.force import depth_map_to_volume_cm3
 

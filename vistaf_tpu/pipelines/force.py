@@ -7,7 +7,7 @@ of ``height_to_force.py``.  Volume integration is one fused masked reduction
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from vistaf_tpu.calib import fitting, scalar_models
+from vistaf_tpu.calib import fitting
 from vistaf_tpu.calib.artifacts import save_json
 from vistaf_tpu.config import FTPConfig
 from vistaf_tpu.ftp.pipeline import FTPPipeline

@@ -9,7 +9,7 @@ and our plain-weight .npz exports (``temperature_color_model.py:652-965``).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -18,7 +18,6 @@ import numpy as np
 
 from vistaf_tpu.calib import groupkfold
 from vistaf_tpu.calib.huber import HuberPolyPipeline, fit_huber_poly
-from vistaf_tpu.calib.isotonic import fit_isotonic, isotonic_predict
 from vistaf_tpu.calib.temp_weights import TempModelWeights
 from vistaf_tpu.ops import geometry
 
