@@ -15,7 +15,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2147480000)
+# Plain int, not jnp.int32 — module-level device scalars poison blocking
+# dispatch latency process-wide on tunneled TPU platforms (docs/PERFORMANCE.md).
+_BIG = 2147480000
 
 
 def _neighbor_min(lab: jnp.ndarray, mask: jnp.ndarray, connectivity: int) -> jnp.ndarray:

@@ -17,7 +17,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_FAR = jnp.int32(1 << 20)
+# Plain Python int, NOT jnp.int32(...): a module-level jnp scalar is a
+# device-resident array, and closure-capturing any pre-existing device buffer
+# into a jitted graph permanently degrades every subsequent blocking dispatch
+# in the process by ~30 ms on tunneled TPU platforms (measured; see
+# docs/PERFORMANCE.md).  Weak-typed literals compile to identical HLO.
+_FAR = 1 << 20
 
 
 def _shift2(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:

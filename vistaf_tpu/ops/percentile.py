@@ -14,7 +14,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.0e38)
+# Plain float, not jnp.float32 — module-level device scalars poison blocking
+# dispatch latency process-wide on tunneled TPU platforms (docs/PERFORMANCE.md).
+_BIG = 3.0e38
 
 
 def masked_percentile(arr: jnp.ndarray, mask: jnp.ndarray, q,
