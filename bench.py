@@ -62,27 +62,36 @@ def measure_tpu(cfg, ref, de, iters=30):
         return f, v, dd
 
     jfn = jax.jit(fn)
-    r = jnp.asarray(ref)
-    d = jnp.asarray(de)
-    out = jfn(r, d)
-    jax.block_until_ready(out)  # compile
+    r = jax.device_put(np.asarray(ref))
+    d = jax.device_put(np.asarray(de))
+    force = float(jfn(r, d)[0])  # compile + warm (real byte fetch)
 
-    # p50 latency: blocking per call
-    lat = []
-    for _ in range(iters):
+    # block_until_ready can return before compute finishes on tunneled TPU
+    # platforms, so all timing is fetch-based: enqueue N executions on the
+    # in-order device queue, fetch real output bytes once, and subtract the
+    # separately measured fetch round-trip.  (total - rtt) / N is the honest
+    # per-execution device time == steady-state serving latency; its inverse
+    # is the pipelined throughput.
+    triv = jax.jit(lambda x: x + 1.0)
+    _ = float(triv(jnp.float32(1.0)))
+    rtts = []
+    for _ in range(10):
         t0 = time.perf_counter()
-        jax.block_until_ready(jfn(r, d))
-        lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(lat, 50) * 1000)
+        _ = float(triv(jnp.float32(1.0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
 
-    # throughput: pipelined dispatch
-    t0 = time.perf_counter()
-    outs = None
-    for _ in range(iters):
-        outs = jfn(r, d)
-    jax.block_until_ready(outs)
-    fps = iters / (time.perf_counter() - t0)
-    return float(fps), p50_ms, float(out[0])
+    per_exec = []
+    for _round in range(5):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = jfn(r, d)
+        _ = float(out[0])
+        per_exec.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
+    p50_s = float(np.percentile(per_exec, 50))
+    fps = 1.0 / p50_s
+    return float(fps), p50_s * 1000.0, force
 
 
 def measure_reference_cpu(ref, de, cfg):

@@ -78,3 +78,26 @@ def test_ecc_align_and_warp_translation(rng):
     a = np.asarray(aligned)
     err = np.abs(a[20:80, 20:80] - ref[20:80, 20:80])
     assert err.mean() < 2.0
+
+
+def test_ecc_align_shear_sampler_matches_gather(rng):
+    """sampler='shear' must converge to the same warp as the gather path."""
+    ref = _textured(rng, 120, 140)
+    th, tx, ty = 0.006, 1.1, -0.8
+    c, s = np.cos(th), np.sin(th)
+    true_M = np.array([[c, -s, tx], [s, c, ty]], np.float32)
+    mov = cv2.warpAffine(ref, true_M, (140, 120),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_REFLECT)
+    mask = np.zeros((120, 140), dtype=bool)
+    mask[10:-10, 10:-10] = True
+    r = filters.gaussian_blur(jnp.asarray(ref / 255.0), 3.0)
+    m = filters.gaussian_blur(jnp.asarray(mov / 255.0), 3.0)
+    wg, rho_g, _ = registration.ecc_align(m, r, jnp.asarray(mask),
+                                          mode="euclidean", max_iters=200)
+    ws, rho_s, _ = registration.ecc_align(m, r, jnp.asarray(mask),
+                                          mode="euclidean", max_iters=200,
+                                          sampler="shear", shear_k=4)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(wg), atol=0.02)
+    np.testing.assert_allclose(np.asarray(ws), true_M, atol=0.03)
+    assert float(rho_s) > 0.99

@@ -51,3 +51,30 @@ def test_invert_affine():
     M3 = np.vstack([M, [0, 0, 1]])
     ref = np.linalg.inv(M3)[:2]
     np.testing.assert_allclose(Minv, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_shear_warp_stack_matches_gather_sampling(rng):
+    """The gather-free two-pass shear warp must agree with true bilinear
+    sampling for small euclidean warps (the ECC refinement regime)."""
+    img = cv2.GaussianBlur(rng.random((90, 110)).astype(np.float32), (0, 0), 3)
+    gx = np.gradient(img, axis=1).astype(np.float32)
+    mask = np.zeros((90, 110), np.float32)
+    mask[8:-8, 8:-8] = 1.0
+    th, tx, ty = 0.008, 1.3, -0.7
+    c, s = np.cos(th), np.sin(th)
+    M = np.array([[c, -s, tx], [s, c, ty]], np.float32)
+
+    S_cf = jnp.asarray(np.stack([img, gx, mask], axis=0))
+    ours = np.asarray(warp.shear_warp_stack(S_cf, jnp.asarray(M), K=4))
+
+    yy, xx = np.mgrid[0:90, 0:110].astype(np.float32)
+    sx = c * xx - s * yy + tx
+    sy = s * xx + c * yy + ty
+    S_cl = jnp.asarray(np.stack([img, gx, mask], axis=-1))
+    gold = np.asarray(warp.sample_bilinear_stack(
+        S_cl, jnp.asarray(sy), jnp.asarray(sx)))
+    gold = np.moveaxis(gold, -1, 0)
+
+    # interior agreement (borders differ by constant0 band width)
+    err = np.abs(ours[:, 6:-6, 6:-6] - gold[:, 6:-6, 6:-6])
+    assert err.max() < 5e-3

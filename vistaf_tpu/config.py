@@ -113,6 +113,11 @@ class FTPConfig:
     ecc_gauss_filt: float = 5.0
     # GN statistics grid stride (TPU knob; 1 = reference-faithful)
     ecc_stride: int = 1
+    # per-iteration warp sampler: 'gather' (reference-faithful bilinear) or
+    # 'shear' (gather-free two-pass shear, ~9x faster; valid for residual
+    # warps within +-(ecc_shear_k-1) px after global-shift removal)
+    ecc_sampler: str = "gather"
+    ecc_shear_k: int = 4
     global_shift_blur_sigma: float = 7.0
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96
@@ -151,7 +156,7 @@ class FTPConfig:
         individually validated to move the demo-scene force outputs by
         <0.1% vs the reference-faithful defaults."""
         return self.replace(percentile_method="hist", ecc_stride=2,
-                            largest_cc_method="seed_edt")
+                            largest_cc_method="seed_edt", ecc_sampler="shear")
 
 
 @dataclass(frozen=True)

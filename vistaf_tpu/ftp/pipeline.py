@@ -163,7 +163,9 @@ class FTPPipeline:
                 m01 = gaussian_blur(m01, cfg.ecc_gauss_filt)
             warp, _rho, _it = ecc_align(r01, m01, circ, mode=cfg.ecc_warp_mode,
                                         max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
-                                        stride=cfg.ecc_stride)
+                                        stride=cfg.ecc_stride,
+                                        sampler=cfg.ecc_sampler,
+                                        shear_k=cfg.ecc_shear_k)
             def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
 
         if self.stop_after == 'align':

@@ -105,10 +105,12 @@ def _steepest_descent(mode: str, p: jnp.ndarray, xx, yy, gxw, gyw):
     return [gxw * xx, gyw * xx, gxw * yy, gyw * yy, gxw, gyw]
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "max_iters", "stride"))
+@functools.partial(jax.jit, static_argnames=("mode", "max_iters", "stride",
+                                             "sampler", "shear_k"))
 def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
               mask: jnp.ndarray, mode: str = "euclidean",
-              max_iters: int = 300, eps: float = 1e-7, stride: int = 1):
+              max_iters: int = 300, eps: float = 1e-7, stride: int = 1,
+              sampler: str = "gather", shear_k: int = 4):
     """Find warp p maximizing the enhanced correlation coefficient between
     ``template`` and ``image`` sampled at W(x; p).
 
@@ -120,6 +122,11 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     ``stride`` subsamples the Gauss-Newton statistics grid (TPU gathers pay
     per index; stride 2-3 keeps the estimate while cutting the dominant
     cost 4-9x).  stride=1 is bit-faithful to the reference formulation.
+
+    ``sampler='shear'`` replaces the per-iteration bilinear gather (~200 us
+    on TPU) with the gather-free two-pass shear warp (valid for residual
+    warps within ±(shear_k-1) px — the post-global-shift regime); 'gather'
+    is the reference-faithful default.
     """
     n_params = _MODES[mode]
     h, w = template.shape
@@ -127,63 +134,95 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     I = image.astype(jnp.float32)
     M01 = mask.astype(jnp.float32)
 
+    # Pre-center both images by the template's masked mean: the moment
+    # algebra below is exactly invariant to a constant shift, but values
+    # near zero keep the f32 variance subtractions well-conditioned.
+    c0 = jnp.sum(T * M01) / jnp.maximum(jnp.sum(M01), 1.0)
+    T = T - c0
+    I = I - c0
+
     # image gradients (central differences, cv2-style 0.5*(I[x+1]-I[x-1]))
     gx = jnp.zeros_like(I).at[:, 1:-1].set(0.5 * (I[:, 2:] - I[:, :-2]))
     gy = jnp.zeros_like(I).at[1:-1, :].set(0.5 * (I[2:, :] - I[:-2, :]))
 
     # one stacked plane so each GN iteration does a single 4-channel gather
-    from vistaf_tpu.ops.warp import sample_bilinear_stack
+    # (channel-first for the shear path so tiled minor dims stay spatial)
+    from vistaf_tpu.ops.warp import sample_bilinear_stack, shear_warp_stack
     S = jnp.stack([I, gx, gy, M01], axis=-1)
+    S_cf = jnp.stack([I, gx, gy, M01], axis=0)
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # The shear sampler warps the full-res stack (strided slices force a
+    # relayout, ~300 us/iter); the stride is instead folded into the mask as
+    # a 0/1 grid, which yields numerically identical strided statistics.
+    stride_mask = None
     if stride > 1:
-        yy = yy[::stride, ::stride]
-        xx = xx[::stride, ::stride]
-        T = T[::stride, ::stride]
+        if sampler == "shear":
+            sm = jnp.zeros((h, w), jnp.float32).at[::stride, ::stride].set(1.0)
+            stride_mask = sm
+        else:
+            yy = yy[::stride, ::stride]
+            xx = xx[::stride, ::stride]
+            T = T[::stride, ::stride]
+    tcol = T.ravel()
 
     p0 = jnp.zeros((n_params,), jnp.float32)
+    eye = 1e-12 * jnp.eye(n_params, dtype=jnp.float32)
+
+    def _sample(p):
+        """Returns (iw, gxw, gyw, mf) warped planes on the statistics grid."""
+        if sampler == "shear":
+            samp = shear_warp_stack(S_cf, _warp_matrix(mode, p), K=shear_k)
+            mf = (samp[3] > 0.95).astype(jnp.float32)
+            if stride_mask is not None:
+                mf = mf * stride_mask
+            return samp[0], samp[1], samp[2], mf
+        sx, sy = _warp_coords(mode, p, xx, yy)
+        samp = sample_bilinear_stack(S, sy, sx)
+        return (samp[..., 0], samp[..., 1], samp[..., 2],
+                (samp[..., 3] > 0.95).astype(jnp.float32))
 
     def body(state):
         p, last_rho, rho, it, failed = state
-        sx, sy = _warp_coords(mode, p, xx, yy)
-        samp = sample_bilinear_stack(S, sy, sx)
-        iw = samp[..., 0]
-        gxw = samp[..., 1]
-        gyw = samp[..., 2]
-        mw = samp[..., 3] > 0.95
+        iw, gxw, gyw, mf = _sample(p)
 
-        n = jnp.maximum(jnp.sum(mw.astype(jnp.float32)), 1.0)
-        t_mean = jnp.sum(jnp.where(mw, T, 0.0)) / n
-        i_mean = jnp.sum(jnp.where(mw, iw, 0.0)) / n
-        tz = jnp.where(mw, T - t_mean, 0.0)
-        iz = jnp.where(mw, iw - i_mean, 0.0)
-        gxm = jnp.where(mw, gxw, 0.0)
-        gym = jnp.where(mw, gyw, 0.0)
-
+        gxm = gxw * mf
+        gym = gyw * mf
         G = _steepest_descent(mode, p, xx, yy, gxm, gym)
-        G = jnp.stack([g.ravel() for g in G], axis=1)  # (N, P)
 
-        H = G.T @ G
-        Hinv = jnp.linalg.inv(H + 1e-12 * jnp.eye(n_params))
-        Gt = G.T @ tz.ravel()
-        Gi = G.T @ iz.ravel()
+        # Every Gauss-Newton statistic is an entry of A A^T for the masked
+        # row matrix A = [m; T*m; I*m; G_1..G_P]: one (3+P)x(3+P) MXU
+        # matmul replaces the ~15 separate reduction kernels of the naive
+        # formulation (each launch costs ~10 us; the loop is launch-bound).
+        # Rows-first keeps N in the tiled lane dimension.
+        A = jnp.stack([mf.ravel(), tcol * mf.ravel(), (iw * mf).ravel()]
+                      + [g.ravel() for g in G], axis=0)  # (3+P, N)
+        Mom = jax.lax.dot_general(A, A, (((1,), (1,)), ((), ())),
+                                  precision=jax.lax.Precision.HIGHEST)
 
-        corr = jnp.vdot(tz, iz)
-        inorm2 = jnp.vdot(iz, iz)
-        tnorm = jnp.sqrt(jnp.vdot(tz, tz))
+        n = jnp.maximum(Mom[0, 0], 1.0)
+        st, si = Mom[0, 1], Mom[0, 2]
+        sg = Mom[0, 3:]
+        corr = Mom[1, 2] - st * si / n
+        tnorm2 = Mom[1, 1] - st * st / n
+        inorm2 = Mom[2, 2] - si * si / n
+        Gt = Mom[1, 3:] - (st / n) * sg
+        Gi = Mom[2, 3:] - (si / n) * sg
+        H = Mom[3:, 3:]
 
-        v1 = Hinv @ Gi
+        # solve H [u, v1] = [Gt, Gi]; then Ge = G^T(lam*tz - iz) = lam*Gt - Gi
+        # and dp = H^-1 Ge = lam*u - v1 — no second reduction pass needed.
+        UV = jnp.linalg.solve(H + eye, jnp.stack([Gt, Gi], axis=1))
+        u, v1 = UV[:, 0], UV[:, 1]
         lam_num = inorm2 - Gi @ v1
         lam_den = corr - Gt @ v1
         lam = lam_num / jnp.where(jnp.abs(lam_den) < 1e-12, 1e-12, lam_den)
-
-        err = lam * tz - iz
-        Ge = G.T @ err.ravel()
-        dp = Hinv @ Ge
+        dp = lam * u - v1
         p_new = p + dp
 
-        new_rho = corr / jnp.maximum(tnorm * jnp.sqrt(inorm2), 1e-12)
+        new_rho = corr / jnp.maximum(
+            jnp.sqrt(jnp.maximum(tnorm2, 0.0) * jnp.maximum(inorm2, 0.0)), 1e-12)
         # cv2 findTransformECC raises StsNoConv when the lambda denominator is
         # non-positive or rho goes NaN; the reference catches that and falls
         # back to the unaligned image (shape_ftp.py:576-578).  Mirror it.

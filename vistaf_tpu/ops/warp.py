@@ -100,6 +100,64 @@ def sample_bilinear_stack(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) 
     return jnp.where(inside, out, 0.0)
 
 
+def _hat_resample_axis(S: jnp.ndarray, disp: jnp.ndarray, K: int, axis: int) -> jnp.ndarray:
+    """1-D linear resample along spatial ``axis`` (1=rows, 2=cols) by a
+    per-element displacement field.
+
+    out[p] = S[p + disp[p]] via hat weights over statically shifted copies:
+    out = sum_k max(0, 1-|disp-k|) * shift(S, k) for k in [-K, K] — pure
+    elementwise ops + static slices, NO gathers (TPU gathers cost ~200 us
+    per ECC iteration; this is the reason this function exists).
+    Displacements with |disp| > K-1 fade to 0 (constant0 border).
+    ``S`` is channel-first (C, H, W) so the tiled minor dims stay spatial;
+    ``disp`` is (H, W).
+    """
+    _, H, W = S.shape
+    if axis == 1:
+        pad = ((0, 0), (K, K), (0, 0))
+    else:
+        pad = ((0, 0), (0, 0), (K, K))
+    P = jnp.pad(S, pad)
+    d = disp[None, ...]
+    out = jnp.zeros_like(S)
+    for k in range(-K, K + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d - k))
+        if axis == 1:
+            sl = P[:, K + k:K + k + H, :]
+        else:
+            sl = P[:, :, K + k:K + k + W]
+        out = out + sl * w
+    return out
+
+
+def shear_warp_stack(S: jnp.ndarray, M: jnp.ndarray, K: int = 4) -> jnp.ndarray:
+    """Affine inverse-map warp of a channel-first (C, H, W) stack by two 1-D
+    shear passes (Catmull–Smith), gather-free.
+
+    dst(y, x) = S(M10*x + M11*y + M12, M00*x + M01*y + M02), constant0
+    border, valid while every intermediate displacement stays within
+    ±(K-1) px — the ECC refinement regime (global translation is removed
+    beforehand, so residual warps are ~1 px).
+
+    Exact pass decomposition: with u = psi(y, x) = a00*x + a01*y + a02 the
+    horizontal map, the vertical pass must produce A(v, u) = S(phi(v, u), u)
+    with phi(v, u) = (a10/a00)*u + (a11 - a10*a01/a00)*v + (a12 -
+    a10*a02/a00); then out(y, x) = A(y, psi(y, x)).  The only deviation
+    from true 2-D bilinear sampling is the separable interpolation order,
+    negligible on pre-blurred inputs.
+    """
+    _, H, W = S.shape
+    a00, a01, a02 = M[0, 0], M[0, 1], M[0, 2]
+    a10, a11, a12 = M[1, 0], M[1, 1], M[1, 2]
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    r = a10 / a00
+    disp_y = r * uu + (a11 - r * a01 - 1.0) * vv + (a12 - r * a02)
+    A = _hat_resample_axis(S, disp_y, K, axis=1)
+    disp_x = (a00 - 1.0) * uu + a01 * vv + a02
+    return _hat_resample_axis(A, disp_x, K, axis=2)
+
+
 def translate_bilinear(img: jnp.ndarray, dx, dy, max_shift: int = 96,
                        border: str = "reflect") -> jnp.ndarray:
     """Pure-translation warp out(x, y) = img(x - dx, y - dy) with bilinear
