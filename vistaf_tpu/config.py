@@ -138,6 +138,9 @@ class FTPConfig:
     # 'sort' = exact NumPy-faithful percentiles; 'hist' = histogram
     # refinement (faster on TPU, error << any pipeline threshold noise)
     percentile_method: str = "sort"
+    # IRLS rounds that re-estimate the robust scale (median/MAD); rounds
+    # beyond reuse the last sigma (6 = reference-faithful)
+    polyfit_resigma_iters: int = 6
     inpaint_iters: int = 64
     # 'label' = exact largest-by-area CC; 'seed_edt' = component containing
     # the deepest interior point via geodesic reconstruction (deploy mode)
@@ -156,7 +159,8 @@ class FTPConfig:
         individually validated to move the demo-scene force outputs by
         <0.1% vs the reference-faithful defaults."""
         return self.replace(percentile_method="hist", ecc_stride=2,
-                            largest_cc_method="seed_edt", ecc_sampler="shear")
+                            largest_cc_method="seed_edt", ecc_sampler="shear",
+                            polyfit_resigma_iters=2)
 
 
 @dataclass(frozen=True)

@@ -37,7 +37,7 @@ from vistaf_tpu.ops.distance import distance_transform_edt, erode_by_distance
 from vistaf_tpu.ops.filters import gaussian_blur, hanning_window, masked_gaussian_smooth
 from vistaf_tpu.ops.morphology import close as morph_close
 from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
-from vistaf_tpu.ops.percentile import get_percentile_fn, masked_max, masked_median
+from vistaf_tpu.ops.percentile import get_percentile_fn, masked_max
 from vistaf_tpu.ops.polyfit import robust_polyfit2d
 from vistaf_tpu.ops.registration import ecc_align, phase_correlate
 from vistaf_tpu.ops.unwrap import unwrap_wls
@@ -227,20 +227,23 @@ class FTPPipeline:
         if cfg.remove_global_plane_before_detrend:
             _, fit1 = robust_polyfit2d(phase_unwrapped, reliable,
                                        order=cfg.plane_order_for_removal,
-                                       percentile_method=cfg.percentile_method)
+                                       percentile_method=cfg.percentile_method,
+                                       resigma_iters=cfg.polyfit_resigma_iters)
             phase_unwrapped = phase_unwrapped - fit1
 
         # --- detrend (shape_ftp.py:1708-1751)
         if not cfg.use_two_pass_detrend:
             _, fit = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
-                                      percentile_method=cfg.percentile_method)
+                                      percentile_method=cfg.percentile_method,
+                                      resigma_iters=cfg.polyfit_resigma_iters)
             phase_detrended = phase_unwrapped - fit
-            bg_med = masked_median(phase_detrended, reliable)
+            bg_med = pctl(phase_detrended, reliable, 50.0)
             phase_zeroed = phase_detrended - bg_med
             contact_d = jnp.zeros_like(reliable)
         else:
             _, fit0 = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
-                                       percentile_method=cfg.percentile_method)
+                                       percentile_method=cfg.percentile_method,
+                                       resigma_iters=cfg.polyfit_resigma_iters)
             abs_res = jnp.abs(phase_unwrapped - fit0)
             thrs = pctl(abs_res, reliable, (cfg.contact_percentile, 95.0, 98.0))
             thr, thr95, thr98 = thrs[0], thrs[1], thrs[2]
@@ -255,9 +258,10 @@ class FTPPipeline:
             bg_small = jnp.sum(background) < 0.15 * jnp.sum(reliable)
             background = jnp.where(bg_small, reliable, background)
             _, fit = robust_polyfit2d(phase_unwrapped, background, order=cfg.poly_order,
-                                      percentile_method=cfg.percentile_method)
+                                      percentile_method=cfg.percentile_method,
+                                      resigma_iters=cfg.polyfit_resigma_iters)
             phase_detrended = phase_unwrapped - fit
-            bg_med = masked_median(phase_detrended, background)
+            bg_med = pctl(phase_detrended, background, 50.0)
             phase_zeroed = phase_detrended - bg_med
 
         if self.stop_after == 'detrend':
@@ -274,7 +278,7 @@ class FTPPipeline:
         if cfg.auto_flip_sign:
             core_thr = pctl(height_map, reliable, cfg.contact_core_percentile)
             core = reliable & jnp.isfinite(height_map) & (height_map <= core_thr)
-            med_core = masked_median(height_map, core)
+            med_core = pctl(height_map, core, 50.0)
             flip = jnp.where(jnp.any(core) & (med_core > 0), -1.0, 1.0)
             height_map = height_map * flip
 

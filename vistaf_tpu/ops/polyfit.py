@@ -36,15 +36,23 @@ def eval_poly2d(h: int, w: int, coef: jnp.ndarray, order: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("order", "iters", "percentile_method"))
+@functools.partial(jax.jit, static_argnames=("order", "iters", "percentile_method",
+                                             "resigma_iters"))
 def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
                      iters: int = 6, c: float = 4.685,
-                     percentile_method: str = "sort") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     percentile_method: str = "sort",
+                     resigma_iters: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IRLS fit of a plane/quadratic to ``z`` over ``mask``.
 
     Matches the reference's weighting w = 1/(1+u^2) with u = r/(c*1.4826*MAD)
     and 6 rounds.  Returns (coef, fitted_surface).  Degenerate masks (<200
     px) return zeros, as the reference does.
+
+    ``resigma_iters`` (TPU latency knob): number of rounds that re-estimate
+    the robust scale via median/MAD percentiles — the dominant cost of each
+    round.  Rounds beyond it reuse the last sigma, only re-solving the 6x6
+    system and reweighting (sigma stabilizes after ~2 rounds in practice;
+    6 = reference-faithful).
     """
     h, w = z.shape
     ncoef = 6 if order >= 2 else 3
@@ -52,36 +60,45 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
     mf = m.astype(jnp.float32)
     zz = jnp.where(m, z, 0.0).astype(jnp.float32)
     cols = _basis(h, w, order)
-    B = jnp.stack([col.ravel() for col in cols], axis=1)  # (N, ncoef)
+    # rows-first (ncoef, N) keeps N in the tiled lane dimension
+    B = jnp.stack([col.ravel() for col in cols], axis=0)
     zv = zz.ravel()
     mv = mf.ravel()
+
+    if percentile_method == "hist":
+        # refine=1 inside the weight loop: sigma only scales the soft
+        # redescending weights, so range/128^2 resolution is ample
+        from vistaf_tpu.ops.percentile import masked_percentile_hist
+        pctl = lambda a, mm, q: masked_percentile_hist(a, mm, q, refine=1)
+    else:
+        pctl = get_percentile_fn(percentile_method)
 
     def solve(wts):
         # reference solves lstsq(A*w, z*w): rows scaled by w, so the
         # effective WLS weight is w^2 (shape_ftp.py:1119-1121)
         w2 = (wts * mv) ** 2
-        Bw = B * w2[:, None]
-        H = Bw.T @ B
-        g = Bw.T @ zv
+        Bw = B * w2[None, :]
+        H = jax.lax.dot_general(Bw, B, (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        g = Bw @ zv
         return jnp.linalg.solve(H + 1e-9 * jnp.eye(ncoef), g)
 
     # reference loop (shape_ftp.py:1118-1128): solve with current weights,
     # then recompute weights from the residuals; `iters` solves total.
-    def body(_, carry):
-        _, wts = carry
+    # Statically unrolled (iters is tiny) so sigma-freezing needs no cond.
+    wts = jnp.ones_like(zv)
+    coef = jnp.zeros((ncoef,), jnp.float32)
+    sigma = jnp.float32(1.0)
+    for i in range(iters):
         coef = solve(wts)
-        r = zv - B @ coef
-        r2 = r.reshape(h, w)
-        pctl = get_percentile_fn(percentile_method)
-        med = pctl(r2, m, 50.0)
-        mad = pctl(jnp.abs(r2 - med), m, 50.0) + 1e-6
-        sigma = 1.4826 * mad
+        r = zv - coef @ B
+        if i < resigma_iters:
+            r2 = r.reshape(h, w)
+            med = pctl(r2, m, 50.0)
+            mad = pctl(jnp.abs(r2 - med), m, 50.0) + 1e-6
+            sigma = 1.4826 * mad
         u = r / (c * sigma)
         wts = 1.0 / (1.0 + u * u)
-        return coef, wts
-
-    init = (jnp.zeros((ncoef,), jnp.float32), jnp.ones_like(zv))
-    coef, _ = jax.lax.fori_loop(0, iters, body, init)
 
     enough = jnp.sum(mf) >= 200
     coef = jnp.where(enough, coef, jnp.zeros_like(coef))
