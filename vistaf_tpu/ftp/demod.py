@@ -28,7 +28,7 @@ from vistaf_tpu.ops import fftops
 from vistaf_tpu.ops.filters import gaussian_blur, gradient_magnitude, hann_patch
 from vistaf_tpu.ops.inpaint import inpaint_diffusion
 from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
-from vistaf_tpu.ops.percentile import get_percentile_fn, masked_median
+from vistaf_tpu.ops.percentile import get_percentile_fn
 
 
 class DemodResult(NamedTuple):
@@ -69,7 +69,8 @@ def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -
         iw = iw * apo
 
     if cfg.remove_mean_after_apod:
-        mu = masked_median(iw, valid if apo is not None else None)
+        pctl = get_percentile_fn(cfg.percentile_method)
+        mu = pctl(iw, valid if apo is not None else None, 50.0)
         iw = iw - mu
 
     if cfg.use_hann_window:
@@ -147,3 +148,83 @@ def ftp_complex_demod(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPCon
     amp = jnp.abs(complex_demod).astype(jnp.float32)
     k = jnp.stack([peak_f[0] - cx, peak_f[1] - cy])
     return DemodResult(complex_demod, amp, peak_f, k, (hf, wf), i_norm)
+
+
+def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
+                           apo: Optional[jnp.ndarray], cfg: FTPConfig
+                           ) -> Tuple[DemodResult, DemodResult]:
+    """Demodulate a reference/deformed pair with the carrier locked to the
+    reference peak (LOCK_CARRIER_TO_REFERENCE, ``shape_ftp.py:1641-1653``),
+    batching every frame-independent stage over a leading pair axis: the
+    preprocessing, FFTs, patch shift and inverse FFTs each run once on a
+    (2, h, w) stack instead of twice (the pipeline is launch-bound on TPU;
+    this halves the demod kernel count).  Only the carrier search reads the
+    reference spectrum.  Numerics are identical to two sequential
+    ``ftp_complex_demod`` calls with a locked carrier.
+    """
+    h, w = gray_ref.shape
+    stack = jnp.stack([gray_ref, gray_def], axis=0)
+
+    iw_pair, i_norm_pair = jax.vmap(lambda g: _preprocess(g, apo, cfg))(stack)
+
+    pad = int(max(0, cfg.fft_pad_px))
+    if pad > 0:
+        iw_fft = jnp.pad(iw_pair, ((0, 0), (pad, pad), (pad, pad)), mode="symmetric")
+    else:
+        iw_fft = iw_pair
+    _, hf, wf = iw_fft.shape
+    cy, cx = hf // 2, wf // 2
+
+    F = jnp.fft.fft2(iw_fft, axes=(-2, -1))
+    F_shift = jnp.fft.fftshift(F, axes=(-2, -1))
+    ref_mag = jnp.abs(F_shift[0])
+
+    xs, ys, mags = fftops.find_top_peaks(ref_mag, cfg.dc_exclusion, cfg.n_fft_peaks)
+    px, py = fftops.choose_carrier_peak(
+        xs, ys, mags, hf, wf,
+        force_right_half_plane=cfg.force_right_half_plane,
+        prefer_near_center_row=cfg.prefer_peak_near_center_row,
+        peak_max_dy_frac=cfg.peak_max_dy_from_center)
+    fx, fy = fftops.refine_peak_parabolic_log(ref_mag, px, py)
+    peak_f = jnp.stack([fx, fy])
+
+    px_i = jnp.round(peak_f[0]).astype(jnp.int32)
+    py_i = jnp.round(peak_f[1]).astype(jnp.int32)
+
+    if cfg.sideband_method == "patch_shift":
+        bw = int(max(3, cfg.patch_half_width_bins))
+        psz = 2 * bw + 1
+        patch = jax.lax.dynamic_slice(F_shift, (0, py_i - bw, px_i - bw), (2, psz, psz))
+        if cfg.patch_window == "hann":
+            patch = patch * jnp.asarray(hann_patch(psz, psz))[None]
+        F_demod_shift = jnp.zeros_like(F_shift)
+        F_demod_shift = jax.lax.dynamic_update_slice(
+            F_demod_shift, patch, (0, cy - psz // 2, cx - psz // 2))
+        field = jnp.fft.ifft2(jnp.fft.ifftshift(F_demod_shift, axes=(-2, -1)), axes=(-2, -1))
+        dpx = peak_f[0] - px_i.astype(jnp.float32)
+        dpy = peak_f[1] - py_i.astype(jnp.float32)
+        field = field * fftops.frac_ramp(hf, wf, dpx, dpy, sign=-1.0)[None]
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (hf, wf), 1)
+        dist2_peak = (xx - peak_f[0]) ** 2 + (yy - peak_f[1]) ** 2
+        dist2_dc = (xx - cx) ** 2 + (yy - cy) ** 2
+        sigma = max(1e-6, float(cfg.band_radius))
+        gauss = jnp.exp(-0.5 * dist2_peak / (sigma * sigma))
+        rcut = max(3.0, float(cfg.gauss_trunc_radius))
+        gauss = gauss * (dist2_peak <= rcut * rcut)
+        gauss = jnp.where(dist2_dc <= float(cfg.dc_exclusion) ** 2, 0.0, gauss)
+        field = jnp.fft.ifft2(jnp.fft.ifftshift(F_shift * gauss[None], axes=(-2, -1)),
+                              axes=(-2, -1))
+        kx = peak_f[0] - cx
+        ky = peak_f[1] - cy
+        field = field * fftops.frac_ramp(hf, wf, kx, ky, sign=-1.0)[None]
+
+    if pad > 0:
+        field = field[:, pad:pad + h, pad:pad + w]
+    amp = jnp.abs(field).astype(jnp.float32)
+    k = jnp.stack([peak_f[0] - cx, peak_f[1] - cy])
+
+    dref = DemodResult(field[0], amp[0], peak_f, k, (hf, wf), i_norm_pair[0])
+    ddef = DemodResult(field[1], amp[1], peak_f, k, (hf, wf), i_norm_pair[1])
+    return dref, ddef

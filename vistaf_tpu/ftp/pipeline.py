@@ -29,7 +29,7 @@ import numpy as np
 
 from vistaf_tpu.calib import scalar_models
 from vistaf_tpu.config import FTPConfig
-from vistaf_tpu.ftp.demod import ftp_complex_demod
+from vistaf_tpu.ftp.demod import ftp_complex_demod, ftp_complex_demod_pair
 from vistaf_tpu.ops import geometry
 from vistaf_tpu.ops.color import bgr_to_gray
 from vistaf_tpu.ops.components import filter_components_by_peak, largest_component
@@ -41,7 +41,8 @@ from vistaf_tpu.ops.percentile import get_percentile_fn, masked_max
 from vistaf_tpu.ops.polyfit import robust_polyfit2d
 from vistaf_tpu.ops.registration import ecc_align, phase_correlate
 from vistaf_tpu.ops.unwrap import unwrap_wls
-from vistaf_tpu.ops.warp import translate_bilinear, warp_affine_inverse_map
+from vistaf_tpu.ops.warp import (translate_bilinear, warp_affine_inverse_map,
+                                 warp_affine_inverse_shear)
 
 
 @dataclass(frozen=True)
@@ -140,14 +141,16 @@ class FTPPipeline:
         roi = jnp.asarray(self._roi_eroded)
         apo = jnp.asarray(self._apo) if self._apo is not None else None
 
-        ref_gray_full = bgr_to_gray(ref_bgr)
-        def_gray_full = bgr_to_gray(def_bgr)
+        gray_pair = jax.vmap(bgr_to_gray)(jnp.stack([ref_bgr, def_bgr]))
+        ref_gray_full = gray_pair[0]
+        def_gray_full = gray_pair[1]
 
         # --- global shift via windowed phase correlation (shape_ftp.py:1486-1492)
         if cfg.apply_global_shift:
-            rb = gaussian_blur(ref_gray_full, cfg.global_shift_blur_sigma)
-            db = gaussian_blur(def_gray_full, cfg.global_shift_blur_sigma)
-            dx, dy, _resp = phase_correlate(rb, db, jnp.asarray(self._hann_full))
+            blur_pair = jax.vmap(
+                lambda g: gaussian_blur(g, cfg.global_shift_blur_sigma))(gray_pair)
+            dx, dy, _resp = phase_correlate(blur_pair[0], blur_pair[1],
+                                            jnp.asarray(self._hann_full))
             def_gray_full = translate_bilinear(def_gray_full, dx, dy,
                                                max_shift=cfg.global_shift_max_px)
 
@@ -156,26 +159,32 @@ class FTPPipeline:
 
         # --- ECC crop alignment (shape_ftp.py:1530-1537)
         if cfg.use_ecc_crop_alignment:
-            r01 = ref_gray / 255.0
-            m01 = def_gray / 255.0
+            crop01 = jnp.stack([ref_gray, def_gray]) / 255.0
             if cfg.ecc_gauss_filt and cfg.ecc_gauss_filt > 0:
-                r01 = gaussian_blur(r01, cfg.ecc_gauss_filt)
-                m01 = gaussian_blur(m01, cfg.ecc_gauss_filt)
-            warp, _rho, _it = ecc_align(r01, m01, circ, mode=cfg.ecc_warp_mode,
+                crop01 = jax.vmap(
+                    lambda g: gaussian_blur(g, cfg.ecc_gauss_filt))(crop01)
+            warp, _rho, _it = ecc_align(crop01[0], crop01[1], circ,
+                                        mode=cfg.ecc_warp_mode,
                                         max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
                                         stride=cfg.ecc_stride,
                                         sampler=cfg.ecc_sampler,
                                         shear_k=cfg.ecc_shear_k)
-            def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
+            if cfg.ecc_sampler == "shear":
+                # same small-warp regime as the GN loop: gather-free
+                def_gray = warp_affine_inverse_shear(def_gray, warp,
+                                                     K=cfg.ecc_shear_k,
+                                                     border="reflect")
+            else:
+                def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
 
         if self.stop_after == 'align':
             return {'x': def_gray}
 
         # --- demodulation, carrier locked to the reference peak
-        dref = ftp_complex_demod(ref_gray, apo, cfg, carrier_refined=None)
         if cfg.lock_carrier_to_reference:
-            ddef = ftp_complex_demod(def_gray, apo, cfg, carrier_refined=dref.peak_f)
+            dref, ddef = ftp_complex_demod_pair(ref_gray, def_gray, apo, cfg)
         else:
+            dref = ftp_complex_demod(ref_gray, apo, cfg, carrier_refined=None)
             ddef = ftp_complex_demod(def_gray, apo, cfg, carrier_refined=None)
 
         hf, wf = dref.fft_shape

@@ -100,7 +100,8 @@ def sample_bilinear_stack(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) 
     return jnp.where(inside, out, 0.0)
 
 
-def _hat_resample_axis(S: jnp.ndarray, disp: jnp.ndarray, K: int, axis: int) -> jnp.ndarray:
+def _hat_resample_axis(S: jnp.ndarray, disp: jnp.ndarray, K: int, axis: int,
+                       border: str = "constant0") -> jnp.ndarray:
     """1-D linear resample along spatial ``axis`` (1=rows, 2=cols) by a
     per-element displacement field.
 
@@ -108,7 +109,8 @@ def _hat_resample_axis(S: jnp.ndarray, disp: jnp.ndarray, K: int, axis: int) -> 
     out = sum_k max(0, 1-|disp-k|) * shift(S, k) for k in [-K, K] — pure
     elementwise ops + static slices, NO gathers (TPU gathers cost ~200 us
     per ECC iteration; this is the reason this function exists).
-    Displacements with |disp| > K-1 fade to 0 (constant0 border).
+    Displacements with |disp| > K-1 fade to 0 ('constant0' border) or read
+    the symmetric reflection ('reflect' = cv2 BORDER_REFLECT).
     ``S`` is channel-first (C, H, W) so the tiled minor dims stay spatial;
     ``disp`` is (H, W).
     """
@@ -117,7 +119,8 @@ def _hat_resample_axis(S: jnp.ndarray, disp: jnp.ndarray, K: int, axis: int) -> 
         pad = ((0, 0), (K, K), (0, 0))
     else:
         pad = ((0, 0), (0, 0), (K, K))
-    P = jnp.pad(S, pad)
+    mode = "symmetric" if border == "reflect" else "constant"
+    P = jnp.pad(S, pad, mode=mode)
     d = disp[None, ...]
     out = jnp.zeros_like(S)
     for k in range(-K, K + 1):
@@ -130,7 +133,8 @@ def _hat_resample_axis(S: jnp.ndarray, disp: jnp.ndarray, K: int, axis: int) -> 
     return out
 
 
-def shear_warp_stack(S: jnp.ndarray, M: jnp.ndarray, K: int = 4) -> jnp.ndarray:
+def shear_warp_stack(S: jnp.ndarray, M: jnp.ndarray, K: int = 4,
+                     border: str = "constant0") -> jnp.ndarray:
     """Affine inverse-map warp of a channel-first (C, H, W) stack by two 1-D
     shear passes (Catmull–Smith), gather-free.
 
@@ -153,9 +157,17 @@ def shear_warp_stack(S: jnp.ndarray, M: jnp.ndarray, K: int = 4) -> jnp.ndarray:
     uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     r = a10 / a00
     disp_y = r * uu + (a11 - r * a01 - 1.0) * vv + (a12 - r * a02)
-    A = _hat_resample_axis(S, disp_y, K, axis=1)
+    A = _hat_resample_axis(S, disp_y, K, axis=1, border=border)
     disp_x = (a00 - 1.0) * uu + a01 * vv + a02
-    return _hat_resample_axis(A, disp_x, K, axis=2)
+    return _hat_resample_axis(A, disp_x, K, axis=2, border=border)
+
+
+def warp_affine_inverse_shear(img: jnp.ndarray, M: jnp.ndarray, K: int = 4,
+                              border: str = "reflect") -> jnp.ndarray:
+    """Gather-free warp_affine_inverse_map for small warps (|disp| <= K-1):
+    the single-channel shear-pass version of ``shear_warp_stack``."""
+    out = shear_warp_stack(img.astype(jnp.float32)[None], M, K=K, border=border)
+    return out[0]
 
 
 def translate_bilinear(img: jnp.ndarray, dx, dy, max_shift: int = 96,
