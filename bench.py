@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from vistaf_tpu.utils.jaxcache import enable as _enable_jax_cache
+_enable_jax_cache()
+
 REFERENCE_ROOT = "/root/reference"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 H, W = 480, 640

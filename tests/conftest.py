@@ -23,6 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+from vistaf_tpu.utils.jaxcache import enable as _enable_jax_cache
+_enable_jax_cache()
+
 
 def pytest_collection_modifyitems(config, items):
     """Slow full-resolution golden tests run only when explicitly requested

@@ -62,3 +62,19 @@ def test_hanning_window_matches_cv2():
     ours = filters.hanning_window(48, 64)
     ref = cv2.createHanningWindow((64, 48), cv2.CV_32F)
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_ifft2_sparse_patch_matches_dense():
+    """The twiddle-matmul inverse transform must equal the dense
+    ifft2(ifftshift(padded patch)) path exactly (same DFT, by linearity)."""
+    import jax.numpy as jnp
+    from vistaf_tpu.ops import fftops
+    rng = np.random.default_rng(3)
+    hf, wf, psz = 100, 120, 21
+    patch = (rng.normal(size=(psz, psz)) + 1j * rng.normal(size=(psz, psz))).astype(np.complex64)
+    row0, col0 = hf // 2 - psz // 2, wf // 2 - psz // 2
+    dense = np.zeros((hf, wf), np.complex64)
+    dense[row0:row0 + psz, col0:col0 + psz] = patch
+    gold = np.fft.ifft2(np.fft.ifftshift(dense))
+    ours = np.asarray(fftops.ifft2_sparse_patch(jnp.asarray(patch), hf, wf, row0, col0))
+    np.testing.assert_allclose(ours, gold, atol=2e-6 * np.abs(patch).max())

@@ -37,3 +37,26 @@ def test_masked_minmax_mean(rng):
     np.testing.assert_allclose(float(percentile.masked_min(jnp.asarray(x), jnp.asarray(mask))), x[mask].min(), rtol=1e-6)
     np.testing.assert_allclose(float(percentile.masked_max(jnp.asarray(x), jnp.asarray(mask))), x[mask].max(), rtol=1e-6)
     np.testing.assert_allclose(float(percentile.masked_mean(jnp.asarray(x), jnp.asarray(mask))), x[mask].mean(), rtol=1e-5)
+
+
+def test_hist_multi_matches_single(rng):
+    from vistaf_tpu.ops.percentile import (masked_percentile_hist,
+                                           masked_percentile_hist_multi,
+                                           masked_percentile_hist_rows)
+    import jax.numpy as jnp
+    x = rng.normal(size=(90, 110)).astype(np.float32) * 7 + 3
+    m = rng.random((90, 110)) > 0.25
+    multi = np.asarray(masked_percentile_hist_multi(jnp.asarray(x), jnp.asarray(m), (25.0, 92.0, 99.7)))
+    for i, q in enumerate((25.0, 92.0, 99.7)):
+        single = float(masked_percentile_hist(jnp.asarray(x), jnp.asarray(m), q))
+        exact = np.percentile(x[m], q)
+        assert abs(multi[i] - exact) < 1e-3 * (x[m].max() - x[m].min())
+        assert abs(multi[i] - single) < 1e-3 * (x[m].max() - x[m].min())
+
+    rows = np.asarray(masked_percentile_hist_rows(
+        jnp.asarray(np.stack([x.ravel(), (x * 2 + 1).ravel()])),
+        jnp.asarray(np.stack([m.ravel(), m.ravel()])), (99.9, 50.0)))
+    # extreme-tail percentiles carry the local order-stat spacing (~0.1 here)
+    # on top of the bracket resolution; compare at that scale
+    assert abs(rows[0] - np.percentile(x[m], 99.9)) < 3e-3 * np.ptp(x[m])
+    assert abs(rows[1] - np.percentile(x[m] * 2 + 1, 50.0)) < 2e-3 * np.ptp(x[m])

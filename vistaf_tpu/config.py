@@ -141,6 +141,11 @@ class FTPConfig:
     # IRLS rounds that re-estimate the robust scale (median/MAD); rounds
     # beyond reuse the last sigma (6 = reference-faithful)
     polyfit_resigma_iters: int = 6
+    # total IRLS rounds per polyfit (6 = reference-faithful)
+    polyfit_iters: int = 6
+    # fold the order-1 global plane removal into the order-2 detrend fit
+    # (the quadratic basis contains the plane; skips one whole IRLS polyfit)
+    detrend_fold_plane: bool = False
     inpaint_iters: int = 64
     # 'label' = exact largest-by-area CC; 'seed_edt' = component containing
     # the deepest interior point via geodesic reconstruction (deploy mode)
@@ -160,7 +165,8 @@ class FTPConfig:
         <0.1% vs the reference-faithful defaults."""
         return self.replace(percentile_method="hist", ecc_stride=2,
                             largest_cc_method="seed_edt", ecc_sampler="shear",
-                            polyfit_resigma_iters=2)
+                            polyfit_resigma_iters=2, unwrap_cg_iters=16,
+                            polyfit_iters=4, detrend_fold_plane=True)
 
 
 @dataclass(frozen=True)

@@ -48,10 +48,18 @@ def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -
     valid = (apo > 1e-6) if apo is not None else jnp.ones_like(img, dtype=bool)
 
     if cfg.bad_pixel_enable:
-        pctl = get_percentile_fn(cfg.percentile_method)
-        hi_thr = pctl(img, valid, cfg.bad_intensity_percentile)
         grad = gradient_magnitude(img)
-        g_thr = pctl(grad, valid, cfg.bad_gradient_percentile)
+        if cfg.percentile_method == "hist":
+            from vistaf_tpu.ops.percentile import masked_percentile_hist_rows
+            thr = masked_percentile_hist_rows(
+                jnp.stack([img.ravel(), grad.ravel()]),
+                jnp.stack([valid.ravel(), valid.ravel()]),
+                (cfg.bad_intensity_percentile, cfg.bad_gradient_percentile))
+            hi_thr, g_thr = thr[0], thr[1]
+        else:
+            pctl = get_percentile_fn(cfg.percentile_method)
+            hi_thr = pctl(img, valid, cfg.bad_intensity_percentile)
+            g_thr = pctl(grad, valid, cfg.bad_gradient_percentile)
         bad = ((img >= hi_thr) | (grad >= g_thr)) & valid
         if cfg.bad_dilate_ksize and cfg.bad_dilate_ksize > 1:
             ksz = max(3, cfg.bad_dilate_ksize | 1)
@@ -116,11 +124,8 @@ def ftp_complex_demod(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPCon
         patch = jax.lax.dynamic_slice(F_shift, (py_i - bw, px_i - bw), (psz, psz))
         if cfg.patch_window == "hann":
             patch = patch * jnp.asarray(hann_patch(psz, psz))
-        F_demod_shift = jnp.zeros_like(F_shift)
-        cy0 = cy - psz // 2
-        cx0 = cx - psz // 2
-        F_demod_shift = jax.lax.dynamic_update_slice(F_demod_shift, patch, (cy0, cx0))
-        complex_field = jnp.fft.ifft2(jnp.fft.ifftshift(F_demod_shift))
+        complex_field = fftops.ifft2_sparse_patch(
+            patch, hf, wf, cy - psz // 2, cx - psz // 2)
         dpx = peak_f[0] - px_i.astype(jnp.float32)
         dpy = peak_f[1] - py_i.astype(jnp.float32)
         complex_field = complex_field * fftops.frac_ramp(hf, wf, dpx, dpy, sign=-1.0)
@@ -197,10 +202,11 @@ def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
         patch = jax.lax.dynamic_slice(F_shift, (0, py_i - bw, px_i - bw), (2, psz, psz))
         if cfg.patch_window == "hann":
             patch = patch * jnp.asarray(hann_patch(psz, psz))[None]
-        F_demod_shift = jnp.zeros_like(F_shift)
-        F_demod_shift = jax.lax.dynamic_update_slice(
-            F_demod_shift, patch, (0, cy - psz // 2, cx - psz // 2))
-        field = jnp.fft.ifft2(jnp.fft.ifftshift(F_demod_shift, axes=(-2, -1)), axes=(-2, -1))
+        # The recentered spectrum is zero outside the (psz, psz) patch, so
+        # the dense ifft2 collapses to two small twiddle matmuls (exact DFT
+        # linearity): field = Ey @ patch @ Ex with Ey/Ex the inverse-DFT
+        # columns for the patch's bin rows/cols after ifftshift.
+        field = fftops.ifft2_sparse_patch(patch, hf, wf, cy - psz // 2, cx - psz // 2)
         dpx = peak_f[0] - px_i.astype(jnp.float32)
         dpy = peak_f[1] - py_i.astype(jnp.float32)
         field = field * fftops.frac_ramp(hf, wf, dpx, dpy, sign=-1.0)[None]

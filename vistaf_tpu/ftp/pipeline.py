@@ -232,11 +232,15 @@ class FTPPipeline:
         if self.stop_after == 'unwrap':
             return {'x': phase_unwrapped}
 
-        # --- global plane removal (debug_ramp, shape_ftp.py:1417-1422)
-        if cfg.remove_global_plane_before_detrend:
+        # --- global plane removal (debug_ramp, shape_ftp.py:1417-1422);
+        # with detrend_fold_plane the order-2 detrend basis absorbs it
+        if cfg.remove_global_plane_before_detrend and not (
+                cfg.detrend_fold_plane and cfg.use_two_pass_detrend
+                and cfg.poly_order >= cfg.plane_order_for_removal):
             _, fit1 = robust_polyfit2d(phase_unwrapped, reliable,
                                        order=cfg.plane_order_for_removal,
                                        percentile_method=cfg.percentile_method,
+                                       iters=cfg.polyfit_iters,
                                        resigma_iters=cfg.polyfit_resigma_iters)
             phase_unwrapped = phase_unwrapped - fit1
 
@@ -244,6 +248,7 @@ class FTPPipeline:
         if not cfg.use_two_pass_detrend:
             _, fit = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
                                       percentile_method=cfg.percentile_method,
+                                      iters=cfg.polyfit_iters,
                                       resigma_iters=cfg.polyfit_resigma_iters)
             phase_detrended = phase_unwrapped - fit
             bg_med = pctl(phase_detrended, reliable, 50.0)
@@ -252,6 +257,7 @@ class FTPPipeline:
         else:
             _, fit0 = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
                                        percentile_method=cfg.percentile_method,
+                                       iters=cfg.polyfit_iters,
                                        resigma_iters=cfg.polyfit_resigma_iters)
             abs_res = jnp.abs(phase_unwrapped - fit0)
             thrs = pctl(abs_res, reliable, (cfg.contact_percentile, 95.0, 98.0))
@@ -268,6 +274,7 @@ class FTPPipeline:
             background = jnp.where(bg_small, reliable, background)
             _, fit = robust_polyfit2d(phase_unwrapped, background, order=cfg.poly_order,
                                       percentile_method=cfg.percentile_method,
+                                      iters=cfg.polyfit_iters,
                                       resigma_iters=cfg.polyfit_resigma_iters)
             phase_detrended = phase_unwrapped - fit
             bg_med = pctl(phase_detrended, background, 50.0)

@@ -99,6 +99,29 @@ def frac_ramp(h: int, w: int, dkx, dky, sign: float = -1.0) -> jnp.ndarray:
     return jnp.exp(1j * sign * phase)
 
 
+def ifft2_sparse_patch(patch: jnp.ndarray, hf: int, wf: int,
+                       row0: int, col0: int) -> jnp.ndarray:
+    """ifft2(ifftshift(Z)) where Z is zero except ``patch`` placed at
+    [row0:row0+psz, col0:col0+psz] of the SHIFTED spectrum.
+
+    By DFT linearity the dense inverse transform collapses to two small
+    twiddle matmuls: field = Ey @ patch @ Ex with static (hf, psz) and
+    (psz, wf) inverse-DFT column matrices (the demod patch is recentered at
+    DC, so the bin offsets are compile-time constants).  Exact — not an
+    approximation — and ~10x cheaper than materializing the padded spectrum
+    and running a full ifft2.  ``patch`` may have leading batch dims.
+    """
+    import numpy as np
+    psz = patch.shape[-1]
+    ch, cw = hf // 2, wf // 2
+    u = np.arange(psz) + row0 - ch
+    v = np.arange(psz) + col0 - cw
+    Ey = (np.exp(2j * np.pi * np.outer(np.arange(hf), u) / hf) / hf).astype(np.complex64)
+    Ex = (np.exp(2j * np.pi * np.outer(v, np.arange(wf)) / wf) / wf).astype(np.complex64)
+    return jnp.einsum("ya,...ab,bx->...yx", jnp.asarray(Ey), patch, jnp.asarray(Ex),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     """cv2.copyMakeBorder(..., BORDER_REFLECT) = symmetric padding
     (``shape_ftp.py:857-861``)."""

@@ -92,6 +92,85 @@ def masked_percentile_hist(arr: jnp.ndarray, mask: jnp.ndarray, q: float,
     return jnp.where(n > 0, v, jnp.float32(fallback))
 
 
+@functools.partial(jax.jit, static_argnames=("qs", "bins", "refine"))
+def masked_percentile_hist_multi(arr: jnp.ndarray, mask: jnp.ndarray, qs: tuple,
+                                 bins: int = 128, refine: int = 2,
+                                 fallback: float = 0.0) -> jnp.ndarray:
+    """Vector of masked percentiles sharing histogram passes.
+
+    The first (global-range) counting pass is computed once for all
+    quantiles; each refinement narrows every bracket simultaneously with a
+    single (N, Q, B) compare+reduce — 1+refine kernels total instead of
+    Q*(1+refine).
+    """
+    Q = len(qs)
+    x = arr.astype(jnp.float32).ravel()
+    m = (mask.ravel() if mask is not None else jnp.ones_like(x, dtype=bool)) & jnp.isfinite(x)
+    mf = m.astype(jnp.float32)
+    n = jnp.sum(mf)
+    big = jnp.float32(3e38)
+    glo = jnp.min(jnp.where(m, x, big))
+    ghi = jnp.max(jnp.where(m, x, -big))
+    targets = jnp.asarray([q / 100.0 for q in qs], jnp.float32) * jnp.maximum(n - 1.0, 0.0)
+
+    # shared first pass over the global range
+    span = jnp.maximum(ghi - glo, 1e-30)
+    edges = glo + span * jnp.arange(1, bins + 1, dtype=jnp.float32) / bins
+    counts = jnp.sum(((x[:, None] <= edges[None, :]) & m[:, None]).astype(jnp.float32), axis=0)
+    bin_i = jnp.sum((counts[None, :] <= targets[:, None]).astype(jnp.int32), axis=1)
+    bin_i = jnp.clip(bin_i, 0, bins - 1)
+    lo = glo + span * bin_i.astype(jnp.float32) / bins          # (Q,)
+    hi = glo + span * (bin_i + 1).astype(jnp.float32) / bins
+
+    for _ in range(refine):
+        span = jnp.maximum(hi - lo, 1e-30)                       # (Q,)
+        e = lo[:, None] + span[:, None] * jnp.arange(1, bins + 1, dtype=jnp.float32)[None, :] / bins
+        le = (x[:, None, None] <= e[None, :, :]) & m[:, None, None]
+        c = jnp.sum(le.astype(jnp.float32), axis=0)              # (Q, B)
+        bi = jnp.sum((c <= targets[:, None]).astype(jnp.int32), axis=1)
+        bi = jnp.clip(bi, 0, bins - 1)
+        new_lo = lo + span * bi.astype(jnp.float32) / bins
+        hi = lo + span * (bi + 1).astype(jnp.float32) / bins
+        lo = new_lo
+    v = 0.5 * (lo + hi)
+    return jnp.where(n > 0, v, jnp.float32(fallback))
+
+
+@functools.partial(jax.jit, static_argnames=("qs", "bins", "refine"))
+def masked_percentile_hist_rows(X: jnp.ndarray, M: jnp.ndarray, qs: tuple,
+                                bins: int = 128, refine: int = 2,
+                                fallback: float = 0.0) -> jnp.ndarray:
+    """Row-wise masked percentiles with shared counting passes.
+
+    ``X`` is (K, N) — K unrelated arrays raveled to rows; ``M`` is (K, N)
+    masks; ``qs`` is one quantile per row.  Each pass is a single
+    (K, N, B) compare+reduce, so K percentile calls cost one kernel chain
+    instead of K (the pipeline is launch-bound on TPU).
+    """
+    K = X.shape[0]
+    assert len(qs) == K
+    x = X.astype(jnp.float32)
+    m = M & jnp.isfinite(x)
+    n = jnp.sum(m.astype(jnp.float32), axis=1)                   # (K,)
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(m, x, big), axis=1)
+    hi = jnp.max(jnp.where(m, x, -big), axis=1)
+    targets = jnp.asarray([q / 100.0 for q in qs], jnp.float32) * jnp.maximum(n - 1.0, 0.0)
+
+    for _ in range(1 + refine):
+        span = jnp.maximum(hi - lo, 1e-30)                       # (K,)
+        e = lo[:, None] + span[:, None] * jnp.arange(1, bins + 1, dtype=jnp.float32)[None, :] / bins
+        le = (x[:, :, None] <= e[:, None, :]) & m[:, :, None]
+        c = jnp.sum(le.astype(jnp.float32), axis=1)              # (K, B)
+        bi = jnp.sum((c <= targets[:, None]).astype(jnp.int32), axis=1)
+        bi = jnp.clip(bi, 0, bins - 1)
+        new_lo = lo + span * bi.astype(jnp.float32) / bins
+        hi = lo + span * (bi + 1).astype(jnp.float32) / bins
+        lo = new_lo
+    v = 0.5 * (lo + hi)
+    return jnp.where(n > 0, v, jnp.float32(fallback))
+
+
 def get_percentile_fn(method: str):
     """Select the percentile implementation: 'sort' (exact, NumPy-faithful)
     or 'hist' (two-pass histogram, much cheaper on TPU)."""
@@ -100,7 +179,7 @@ def get_percentile_fn(method: str):
     if method == "hist":
         def f(arr, mask, q, fallback=0.0):
             if isinstance(q, (tuple, list)):
-                return jnp.stack([masked_percentile_hist(arr, mask, qq, fallback=fallback) for qq in q])
+                return masked_percentile_hist_multi(arr, mask, tuple(q), fallback=fallback)
             return masked_percentile_hist(arr, mask, q, fallback=fallback)
         return f
     raise ValueError(f"unknown percentile method: {method}")

@@ -68,6 +68,7 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
     if percentile_method == "hist":
         # refine=1 inside the weight loop: sigma only scales the soft
         # redescending weights, so range/128^2 resolution is ample
+        # (refine=0 was tried and moves bench-scale force by ~0.07%)
         from vistaf_tpu.ops.percentile import masked_percentile_hist
         pctl = lambda a, mm, q: masked_percentile_hist(a, mm, q, refine=1)
     else:

@@ -39,18 +39,20 @@ def _poisson_dct_solve(rho: jnp.ndarray) -> jnp.ndarray:
     return idctn(out, type=2, norm="ortho")
 
 
+def _div2(fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
+    """Divergence of edge fluxes: out[i] = fx[i] - fx[i-1] + fy[i] - fy[i-1]
+    with zero flux outside — expressed as padded slices (no scatter-adds,
+    which lower poorly on TPU)."""
+    fxp = jnp.pad(fx, ((0, 0), (1, 1)))
+    fyp = jnp.pad(fy, ((1, 1), (0, 0)))
+    return (fxp[:, 1:] - fxp[:, :-1]) + (fyp[1:, :] - fyp[:-1, :])
+
+
 def _apply_wlap(phi: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
     """A(phi) = divergence of weighted forward-difference gradients."""
-    dx = phi[:, 1:] - phi[:, :-1]
-    dy = phi[1:, :] - phi[:-1, :]
-    fx = wx * dx
-    fy = wy * dy
-    out = jnp.zeros_like(phi)
-    out = out.at[:, :-1].add(fx)
-    out = out.at[:, 1:].add(-fx)
-    out = out.at[:-1, :].add(fy)
-    out = out.at[1:, :].add(-fy)
-    return out
+    fx = wx * (phi[:, 1:] - phi[:, :-1])
+    fy = wy * (phi[1:, :] - phi[:-1, :])
+    return _div2(fx, fy)
 
 
 @functools.partial(jax.jit, static_argnames=("cg_iters",))
@@ -73,11 +75,7 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
     dx = wrap_angle(psi[:, 1:] - psi[:, :-1]) * wx
     dy = wrap_angle(psi[1:, :] - psi[:-1, :]) * wy
 
-    rhs = jnp.zeros_like(psi)
-    rhs = rhs.at[:, :-1].add(dx)
-    rhs = rhs.at[:, 1:].add(-dx)
-    rhs = rhs.at[:-1, :].add(dy)
-    rhs = rhs.at[1:, :].add(-dy)
+    rhs = _div2(dx, dy)
 
     # PCG with DCT-Poisson preconditioner (Ghiglia & Romero)
     phi0 = jnp.zeros_like(psi)
