@@ -122,6 +122,19 @@ class FTPConfig:
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96
 
+    # --- Grating-band prealignment (shape_ftp.py:184-197, 1542-1616) ---
+    # second ECC pass on highpassed gratings over the band between the
+    # pass-1 reliable mask and the ROI (USE_GRATING_PREALIGNMENT; off by
+    # default in the reference too)
+    use_grating_band_prealign: bool = False
+    grating_prealign_band_px: int = 200
+    grating_prealign_dilate_reliable_px: int = 0
+    grating_prealign_hp_sigma_px: float = 35.0
+    grating_prealign_ecc_mode: str = "euclidean"
+    grating_prealign_ecc_iters: int = 250
+    grating_prealign_ecc_eps: float = 1e-7
+    grating_prealign_ecc_gauss_filt: float = 0.0
+
     # --- Carrier handling (shape_ftp.py:200-218) ---
     force_right_half_plane: bool = True
     prefer_peak_near_center_row: bool = True
@@ -171,7 +184,8 @@ class FTPConfig:
                             largest_cc_method="seed_edt", ecc_sampler="shear",
                             polyfit_resigma_iters=2, unwrap_cg_iters=16,
                             polyfit_iters=4, detrend_fold_plane=True,
-                            dc_remove_stat="mean")
+                            dc_remove_stat="mean",
+                            fill_internal_holes_in_reliable=False)
 
 
 @dataclass(frozen=True)

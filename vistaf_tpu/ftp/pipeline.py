@@ -34,9 +34,11 @@ from vistaf_tpu.ops import geometry
 from vistaf_tpu.ops.color import bgr_to_gray
 from vistaf_tpu.ops.components import filter_components_by_peak, largest_component
 from vistaf_tpu.ops.distance import distance_transform_edt, erode_by_distance
-from vistaf_tpu.ops.filters import gaussian_blur, hanning_window, masked_gaussian_smooth
+from vistaf_tpu.ops.filters import (box_filter, gaussian_blur, hanning_window,
+                                    masked_gaussian_smooth)
 from vistaf_tpu.ops.morphology import close as morph_close
 from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
+from vistaf_tpu.ops.inpaint import inpaint_within_roi
 from vistaf_tpu.ops.percentile import get_percentile_fn, masked_max
 from vistaf_tpu.ops.polyfit import robust_polyfit2d
 from vistaf_tpu.ops.registration import ecc_align, phase_correlate
@@ -66,6 +68,24 @@ class FTPGeometry:
         cxl, cyl, rl = geometry.local_circle(cx, cy, r, bbox)
         x1, x2, y1, y2 = bbox
         return FTPGeometry(cx, cy, r, bbox, cxl, cyl, rl, y2 - y1, x2 - x1)
+
+
+def detect_internal_holes(container: jnp.ndarray, known: jnp.ndarray,
+                          ksize: int, frac_thr: float,
+                          min_dist_edge_px: float) -> jnp.ndarray:
+    """``compute_internal_holes_within_mask`` (``shape_ftp.py:1153-1176``):
+    unknown pixels inside ``container`` whose (k x k) neighborhood is mostly
+    known (boxFilter count fraction >= frac_thr) and that sit at least
+    ``min_dist_edge_px`` inside the container edge."""
+    container = container.astype(bool)
+    known = known.astype(bool) & container
+    holes = container & ~known
+    k = max(3, int(ksize) | 1)
+    count_known = box_filter(known.astype(jnp.float32), k)
+    count_cont = box_filter(container.astype(jnp.float32), k)
+    frac = count_known / (count_cont + 1e-6)
+    dist = distance_transform_edt(container, max_dist=int(min_dist_edge_px) + 4)
+    return holes & (frac >= float(frac_thr)) & (dist >= float(min_dist_edge_px))
 
 
 def _smoothstep(t: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +151,91 @@ class FTPPipeline:
         return self._forward(ref_bgr, def_bgr)
 
     # ------------------------------------------------------------------
+    def _reliable_mask(self, dref, ddef, roi, pctl):
+        """compute_reliable_mask (``shape_ftp.py:739-775``): smoothed
+        amplitude-product quality, p25 threshold inside the ROI, morph
+        close, largest component, distance erode."""
+        cfg = self.cfg
+        quality = dref.amp * ddef.amp
+        if cfg.quality_smooth_sigma_px > 0:
+            quality = gaussian_blur(quality, cfg.quality_smooth_sigma_px)
+        amp_thr = pctl(quality, roi, cfg.amp_valid_percentile)
+        reliable = roi & (quality >= amp_thr) & jnp.isfinite(quality)
+        if cfg.valid_morph_close:
+            ksz = max(3, cfg.valid_close_kernel | 1)
+            reliable = morph_close(reliable, ellipse_kernel(ksz, ksz),
+                                   iterations=cfg.valid_close_iters) & roi
+        if cfg.reliable_keep_largest_cc:
+            if cfg.largest_cc_method == "seed_edt":
+                from vistaf_tpu.ops.components import dominant_component
+                reliable = dominant_component(reliable) & roi
+            else:
+                reliable = largest_component(reliable) & roi
+        if cfg.reliable_edge_margin_px > 0:
+            reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px)
+        return reliable, quality
+
+    def _grating_band_prealign(self, ref_gray, def_gray, roi, apo, pctl):
+        """USE_GRATING_PREALIGNMENT pass (``shape_ftp.py:1542-1616``).
+
+        Pass-1 FTP demod of both frames -> pass-1 reliable mask -> alignment
+        band = ROI pixels outside the (optionally dilated) reliable region
+        within ``grating_prealign_band_px`` of its edge
+        (``compute_between_roi_and_reliable_mask``, ``shape_ftp.py:778-795``)
+        -> percentile-normalized highpass images (``highpass_to_u8``,
+        ``shape_ftp.py:590-613``) -> masked ECC -> warp ``def_gray``.
+        An empty alignment band keeps the identity warp (the reference
+        skips; cv2 ECC would fail -> identity via our failure semantics).
+        """
+        cfg = self.cfg
+        if cfg.lock_carrier_to_reference:
+            dref1, ddef1 = ftp_complex_demod_pair(ref_gray, def_gray, apo, cfg)
+        else:
+            dref1 = ftp_complex_demod(ref_gray, apo, cfg, carrier_refined=None)
+            ddef1 = ftp_complex_demod(def_gray, apo, cfg, carrier_refined=None)
+        reliable1, _q1 = self._reliable_mask(dref1, ddef1, roi, pctl)
+
+        rel = reliable1 & roi
+        if cfg.grating_prealign_dilate_reliable_px > 0:
+            d = int(cfg.grating_prealign_dilate_reliable_px)
+            rel = dilate(rel, ellipse_kernel(2 * d + 1, 2 * d + 1)) & roi
+        outside = roi & ~rel
+        band = int(cfg.grating_prealign_band_px)
+        if band > 0:
+            dist = distance_transform_edt(~rel, max_dist=band + 4)
+            dist_edge = jnp.maximum(dist - 1.0, 0.0)
+            outside = outside & (dist_edge <= float(band))
+        align_mask = outside
+
+        def highpass_norm(img):
+            x = img.astype(jnp.float32)
+            sig = float(cfg.grating_prealign_hp_sigma_px)
+            hp = x - gaussian_blur(x, sig) if sig > 0 else x
+            p = pctl(hp, align_mask, (1.0, 99.0))
+            p1, p99 = p[0], p[1]
+            span = jnp.maximum(p99 - p1, 1e-6)
+            u = jnp.clip((hp - p1) / span, 0.0, 1.0)
+            # reference quantizes through uint8 before ECC
+            return jnp.round(255.0 * u)
+
+        hp_pair = jnp.stack([highpass_norm(ref_gray), highpass_norm(def_gray)]) / 255.0
+        gf = float(cfg.grating_prealign_ecc_gauss_filt)
+        if gf > 0:
+            hp_pair = jax.vmap(lambda g: gaussian_blur(g, gf))(hp_pair)
+        warp_g, _rho_g, _it_g = ecc_align(
+            hp_pair[0], hp_pair[1], align_mask,
+            mode=cfg.grating_prealign_ecc_mode,
+            max_iters=cfg.grating_prealign_ecc_iters,
+            eps=cfg.grating_prealign_ecc_eps,
+            stride=cfg.ecc_stride, sampler=cfg.ecc_sampler,
+            shear_k=cfg.ecc_shear_k)
+        identity = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        warp_g = jnp.where(jnp.any(align_mask), warp_g, identity)
+        if cfg.ecc_sampler == "shear":
+            return warp_affine_inverse_shear(def_gray, warp_g,
+                                             K=cfg.ecc_shear_k, border="reflect")
+        return warp_affine_inverse_map(def_gray, warp_g, border="reflect")
+
     def _forward_impl(self, ref_bgr: jnp.ndarray, def_bgr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         g = self.geom
@@ -177,6 +282,12 @@ class FTPPipeline:
             else:
                 def_gray = warp_affine_inverse_map(def_gray, warp, border="reflect")
 
+        # --- grating-band prealignment (shape_ftp.py:1542-1616): pass-1
+        # demod -> reliable mask -> ECC on highpassed gratings over the band
+        # between the reliable region and the ROI, refining def_gray
+        if cfg.use_grating_band_prealign:
+            def_gray = self._grating_band_prealign(ref_gray, def_gray, roi, apo, pctl)
+
         if self.stop_after == 'align':
             return {'x': def_gray}
 
@@ -194,23 +305,7 @@ class FTPPipeline:
             return {'x': jnp.abs(ddef.complex_demod) + dref.amp}
 
         # --- reliable mask (shape_ftp.py:739-775)
-        quality = dref.amp * ddef.amp
-        if cfg.quality_smooth_sigma_px > 0:
-            quality = gaussian_blur(quality, cfg.quality_smooth_sigma_px)
-        amp_thr = pctl(quality, roi, cfg.amp_valid_percentile)
-        reliable = roi & (quality >= amp_thr) & jnp.isfinite(quality)
-        if cfg.valid_morph_close:
-            ksz = max(3, cfg.valid_close_kernel | 1)
-            reliable = morph_close(reliable, ellipse_kernel(ksz, ksz),
-                                   iterations=cfg.valid_close_iters) & roi
-        if cfg.reliable_keep_largest_cc:
-            if cfg.largest_cc_method == "seed_edt":
-                from vistaf_tpu.ops.components import dominant_component
-                reliable = dominant_component(reliable) & roi
-            else:
-                reliable = largest_component(reliable) & roi
-        if cfg.reliable_edge_margin_px > 0:
-            reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px)
+        reliable, quality = self._reliable_mask(dref, ddef, roi, pctl)
 
         if self.stop_after == 'reliable':
             return {'x': reliable.astype(jnp.float32) * quality}
@@ -300,9 +395,24 @@ class FTPPipeline:
 
         known_height = reliable & jnp.isfinite(height_map)
         height_rel_filled = jnp.where(known_height, height_map, jnp.nan)
-        # internal-hole inpainting (shape_ftp.py:1776-1799) is structurally a
-        # no-op here: the WLS unwrap produces finite values on the whole
-        # reliable mask, so holes = reliable & ~known == empty.
+
+        # --- internal-hole detection + inpaint (shape_ftp.py:1153-1203,
+        # 1776-1799).  Under the WLS unwrap every reliable pixel is finite,
+        # so holes are empty in normal operation — but the machinery must
+        # exist so injected NaNs heal as in the reference (SURVEY §5 fault
+        # injection): boxFilter known-fraction >= hole_known_fraction,
+        # interior-distance gate, diffusion fill clamped to the hole set.
+        if cfg.fill_internal_holes_in_reliable:
+            cand = detect_internal_holes(
+                reliable, known_height, cfg.hole_neighborhood_px,
+                cfg.hole_known_fraction, cfg.hole_min_dist_from_reliable_edge_px)
+            med_known = pctl(height_map, known_height, 50.0)
+            tmp = jnp.where(known_height, height_map, med_known)
+            filled = inpaint_within_roi(tmp, reliable, cand,
+                                        iters=cfg.inpaint_iters)
+            height_rel_filled = jnp.where(cand & jnp.isfinite(filled),
+                                          filled, height_rel_filled)
+
         output_reliable = reliable & jnp.isfinite(height_rel_filled)
 
         # --- frontier inside taper (shape_ftp.py:1803-1814)
