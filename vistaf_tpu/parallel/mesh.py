@@ -75,41 +75,79 @@ class BatchedForce:
         return jax.jit(fn, in_shardings=(in_sh, in_sh))
 
 
-def whole_limb_step(batched_force: BatchedForce, mesh: Mesh):
-    """Multi-stream fusion head (BASELINE.json config 5): per-stream force
-    locally, cross-stream aggregation over ICI via shard_map + psum/all_gather.
+def whole_limb_step(batched_force: BatchedForce, mesh: Mesh,
+                    map_stride: int = 1):
+    """Multi-stream fusion head (BASELINE.json config 5).
 
-    Returns a jitted fn (ref_batch, def_batch) ->
-    {per_stream_force, total_force_N, max_depth_mm, contact_area_mm2}.
+    Two-layer design, each layer in its natural idiom:
+
+    - per-stream compute: the vmapped force pipeline under ``jit`` with
+      ``P('stream')`` input shardings — the GSPMD partitioner runs each
+      stream's frames entirely on its own chip (the pipeline's inner
+      while_loops stay single-device, no cross-stream types involved);
+    - fusion head: an explicit ``shard_map`` over the small per-stream
+      results only, with ICI collectives (psum/pmax/all_gather) forming
+      the limb summary AND the whole-limb contact map — an
+      (n_streams, h', w') atlas of per-patch contact-depth maps,
+      replicated to every chip.  The head contains no control flow, so
+      the varying-axis type check runs (no ``check_vma`` escape hatch).
+
+    ``map_stride`` subsamples the per-patch maps before the all_gather to
+    bound ICI traffic at rate (stride 2 => 4x less).
+    Returns a jitted fn (ref_batch, def_batch) -> dict.
     """
     single = batched_force._single
+    eps = batched_force.depth_eps_mm
+    in_sh = NamedSharding(mesh, P("stream"))
 
-    def per_shard(ref_blk, def_blk):
-        # ref_blk: (B/n, H, W, 3) local shard
-        out = jax.vmap(single)(ref_blk, def_blk)
-        local_forces = out["force_N"]
-        # cross-stream collectives ride ICI
-        all_forces = jax.lax.all_gather(local_forces, "stream", tiled=True)
-        total = jax.lax.psum(jnp.sum(local_forces), "stream")
-        max_depth = jax.lax.pmax(jnp.max(out["max_depth_mm"]), "stream")
-        area = jax.lax.psum(jnp.sum(out["contact_area_mm2"]), "stream")
+    n_streams_axis = mesh.shape["stream"]
+
+    def fuse(forces, areas, depths, maps):
+        # all inputs are (B/n, ...) local shards of per-stream results;
+        # every collective below rides ICI.  Gathers are expressed as
+        # psum-of-placed-shards so the shard_map rep-checker can statically
+        # prove the outputs replicated (a plain all_gather's replication is
+        # not inferrable, which is what previously forced check_vma=False).
+        i = jax.lax.axis_index("stream")
+        nloc = forces.shape[0]
+        B = nloc * n_streams_axis
+
+        placed_f = jax.lax.dynamic_update_slice(
+            jnp.zeros((B,), forces.dtype), forces, (i * nloc,))
+        all_forces = jax.lax.psum(placed_f, "stream")
+        placed_m = jax.lax.dynamic_update_slice(
+            jnp.zeros((B,) + maps.shape[1:], maps.dtype), maps, (i * nloc, 0, 0))
+        limb_map = jax.lax.psum(placed_m, "stream")
+
+        total = jax.lax.psum(jnp.sum(forces), "stream")
+        max_depth = jax.lax.pmax(jnp.max(depths), "stream")
+        area = jax.lax.psum(jnp.sum(areas), "stream")
         return {
             "per_stream_force": all_forces,
             "total_force_N": total,
             "max_depth_mm": max_depth,
             "contact_area_mm2": area,
+            "whole_limb_map_mm": limb_map,
         }
 
-    shard_map = jax.shard_map
-    fn = shard_map(per_shard, mesh=mesh,
-                   in_specs=(P("stream"), P("stream")),
-                   out_specs={
-                       "per_stream_force": P(),
-                       "total_force_N": P(),
-                       "max_depth_mm": P(),
-                       "contact_area_mm2": P(),
-                   },
-                   # the ECC/labeling while_loops mix stream-varying and
-                   # invariant carry components; skip the VMA type check
-                   check_vma=False)
-    return jax.jit(fn)
+    fuse_sm = jax.shard_map(
+        fuse, mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P("stream"), P("stream")),
+        out_specs={
+            "per_stream_force": P(),
+            "total_force_N": P(),
+            "max_depth_mm": P(),
+            "contact_area_mm2": P(),
+            "whole_limb_map_mm": P(),
+        })
+
+    def step(ref_b, def_b):
+        out = jax.vmap(single)(ref_b, def_b)
+        hm = out["height_map_mm"]
+        contact_depth = jnp.where(jnp.isfinite(hm) & (hm > eps), hm, 0.0)
+        if map_stride > 1:
+            contact_depth = contact_depth[:, ::map_stride, ::map_stride]
+        return fuse_sm(out["force_N"], out["contact_area_mm2"],
+                       out["max_depth_mm"], contact_depth)
+
+    return jax.jit(step, in_shardings=(in_sh, in_sh))
