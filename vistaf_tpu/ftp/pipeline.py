@@ -500,8 +500,12 @@ class FTPPipeline:
                 "dbg_amp_def": ddef.amp,
                 "dbg_unwrapped": phase_unwrapped,
                 "dbg_phase_zeroed": phase_zeroed,
-                "dbg_complex_ref": dref.complex_demod,
-                "dbg_complex_def": ddef.complex_demod,
+                # angle/amp pairs instead of raw complex: complex host
+                # fetches hit backend UNIMPLEMENTED on tunneled platforms
+                "dbg_phase_ref": jnp.angle(dref.complex_demod).astype(jnp.float32),
+                "dbg_phase_def": jnp.angle(ddef.complex_demod).astype(jnp.float32),
+                "dbg_i_norm_ref": dref.i_norm,
+                "dbg_i_norm_def": ddef.i_norm,
                 "dbg_peak_ref": dref.peak_f,
             })
         return out

@@ -58,21 +58,24 @@ class ForcePipeline:
 
     def __init__(self, ftp_cfg: FTPConfig, force_cfg: ForceConfig,
                  p2h_model: Dict[str, Any], force_model: Dict[str, Any],
-                 use_negated_height: bool = True):
-        self.ftp = FTPPipeline(ftp_cfg, p2h_model, use_negated_height)
+                 use_negated_height: bool = True, debug_outputs: bool = False):
+        self.ftp = FTPPipeline(ftp_cfg, p2h_model, use_negated_height,
+                               debug_outputs=debug_outputs)
         self.force_cfg = force_cfg
         self.force_model = force_model
 
     @classmethod
     def from_artifacts(cls, data_root: str, ftp_cfg: Optional[FTPConfig] = None,
-                       force_cfg: Optional[ForceConfig] = None) -> "ForcePipeline":
+                       force_cfg: Optional[ForceConfig] = None,
+                       debug_outputs: bool = False) -> "ForcePipeline":
         import os
         from vistaf_tpu import config as C
         ftp_cfg = ftp_cfg or FTPConfig()
         force_cfg = force_cfg or ForceConfig()
         p2h, use_neg = artifacts.load_phase_to_height(os.path.join(data_root, C.PHASE_TO_HEIGHT_JSON))
         fc = artifacts.load_force_calibration(os.path.join(data_root, C.HEIGHT_TO_FORCE_JSON))
-        return cls(ftp_cfg, force_cfg, p2h, fc["best_model"], use_neg)
+        return cls(ftp_cfg, force_cfg, p2h, fc["best_model"], use_neg,
+                   debug_outputs=debug_outputs)
 
     def mm_per_px(self, est_period_px: float) -> float:
         """Grating pitch / FFT-estimated period (``force_sensor.py:173-187``)."""

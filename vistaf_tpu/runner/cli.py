@@ -27,12 +27,16 @@ def cmd_force(args) -> int:
     from vistaf_tpu.pipelines.force import ForcePipeline
     from vistaf_tpu.runner import io
 
-    pipe = ForcePipeline.from_artifacts(args.data_root)
+    debug = bool(getattr(args, "debug", False))
+    pipe = ForcePipeline.from_artifacts(args.data_root, debug_outputs=debug)
     ref = io.imread_bgr(args.ref)
     de = io.imread_bgr(getattr(args, "def"))
     out = pipe(ref, de)
     ftp_dir = os.path.join(args.out, "ftp_run")
     io.ensure_dir(ftp_dir)
+    if debug:
+        from vistaf_tpu.runner.debug_artifacts import write_ftp_debug
+        write_ftp_debug(ftp_dir, out, pipe.ftp.cfg, apo=pipe.ftp._apo)
     io.write_force_result(args.out, out, pipe.force_model, args.ref,
                           getattr(args, "def"), ftp_dir,
                           pipe.force_cfg.grating_pitch_mm, pipe.force_cfg.depth_eps_mm)
@@ -54,6 +58,9 @@ def cmd_temperature(args) -> int:
     img = io.imread_bgr(args.image)
     out = pipe(img)
     io.ensure_dir(args.out)
+    if bool(getattr(args, "debug", False)):
+        from vistaf_tpu.runner.debug_artifacts import write_temperature_debug
+        write_temperature_debug(args.out, img, out, bbox=out["crop_bbox"])
     np.save(os.path.join(args.out, "temperature_map_fused.npy"),
             out["temperature_map_fused"].astype(np.float32))
     np.save(os.path.join(args.out, "temperature_map_final.npy"),
@@ -158,12 +165,16 @@ def main(argv=None) -> int:
     p.add_argument("--def", required=True)
     p.add_argument("--out", default="./force_sensor_out")
     p.add_argument("--export-heightmaps", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="write the reference DEBUG_* figure set + debug_log.txt")
     _add_data_root(p)
     p.set_defaults(fn=cmd_force)
 
     p = sub.add_parser("temperature", help="frame -> temperature map (temperature_sensor.py)")
     p.add_argument("--image", required=True)
     p.add_argument("--out", default="./temp_inference")
+    p.add_argument("--debug", action="store_true",
+                   help="write debug_{seg_overlay,fft_mag,chroma_u8}.png")
     _add_data_root(p)
     p.set_defaults(fn=cmd_temperature)
 

@@ -168,6 +168,7 @@ class TemperaturePipeline:
             # fused Pallas path: LAB + chroma + both models in one VMEM pass
             wide_map_raw, color_map_raw, color_support = self._fused_fn(
                 blurred, seg.roi_eff, csup_pre)
+            chroma = None  # lives inside the fused kernel; not exported
         else:
             lab = bgr_to_lab_u8(blurred)
             L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
@@ -224,6 +225,7 @@ class TemperaturePipeline:
             "wide_map": wide_map,
             "color_map": color_map,
             "source_map": source_map,
+            **({"chroma": chroma} if chroma is not None else {}),
             "mask_dark": seg.dark,
             "mask_light": seg.light,
             "mask_sat": seg.sat,
