@@ -15,9 +15,13 @@ pytestmark = [
 
 SCENES = {
     # scene -> (force tolerance %, volume tolerance %)
-    "FINAL_E_deformed": (3.0, 2.0),
-    "FINAL_ROUND_METAL": (3.0, 2.0),
-    "FINAL_TEMP_DEMO": (5.0, 3.0),
+    # TPU-measured parity (round 2, chamfer distances + congruent unwrap):
+    # E +0.31 / F -0.02 / P +0.12 / ROUND_METAL -0.24 / TEMP_DEMO +0.40 %
+    "FINAL_E_deformed": (0.6, 0.5),
+    "FINAL_F_deformed": (0.6, 0.5),
+    "FINAL_P_deformed": (0.6, 0.5),
+    "FINAL_ROUND_METAL": (0.6, 0.5),
+    "FINAL_TEMP_DEMO": (0.8, 0.6),
 }
 
 

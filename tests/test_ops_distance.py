@@ -40,3 +40,14 @@ def test_erode_by_distance(rng):
     out = np.asarray(distance.erode_by_distance(jnp.asarray(mask), 6))
     ref = scipy_edt(mask) > 6.0
     assert (out == (ref & mask)).mean() > 0.99
+
+
+def test_chamfer3_matches_cv2_dist_l2_3x3(rng):
+    import cv2
+    import jax.numpy as jnp
+    from vistaf_tpu.ops.distance import distance_transform_chamfer3
+    mask = rng.random((80, 100)) > 0.12
+    mask[0, 0] = False  # ensure a zero exists
+    gold = cv2.distanceTransform(mask.astype(np.uint8), cv2.DIST_L2, 3)
+    ours = np.asarray(distance_transform_chamfer3(jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, gold, atol=2e-3)

@@ -103,6 +103,12 @@ class FTPConfig:
     contact_blob_min_peak_mm: float = 0.1
     contact_blob_min_peak_rel_frac: float = 1.0 / 3.0
     contact_blob_min_area_px: int = 0
+    # candidate-mask depth floor for blob labeling.  The reference uses a
+    # strict depth > 0 (shape_ftp.py:1234), which makes blob TOPOLOGY (and
+    # so the keep/drop of near-threshold lobes) depend on float-dust-level
+    # sign flips of ~1e-6 mm bridge pixels; 1 um is far below measurement
+    # noise and pins the topology.  Set 0.0 for the literal reference rule.
+    contact_blob_cand_eps_mm: float = 1e-3
 
     # --- Alignment (shape_ftp.py:174-197) ---
     apply_global_shift: bool = True
@@ -164,6 +170,10 @@ class FTPConfig:
     # the apodized normalized image is near-symmetric about 0)
     dc_remove_stat: str = "median"
     inpaint_iters: int = 64
+    # distance-transform metric: 'chamfer3' = cv2 DIST_L2 3x3 chamfer
+    # (reference-faithful; every reference call site uses it), 'euclid' =
+    # exact jump-flooding EDT (fewer sequential rounds on TPU)
+    distance_metric: str = "chamfer3"
     # 'label' = exact largest-by-area CC; 'seed_edt' = component containing
     # the deepest interior point via geodesic reconstruction (deploy mode)
     largest_cc_method: str = "label"

@@ -33,7 +33,8 @@ from vistaf_tpu.ftp.demod import ftp_complex_demod, ftp_complex_demod_pair
 from vistaf_tpu.ops import geometry
 from vistaf_tpu.ops.color import bgr_to_gray
 from vistaf_tpu.ops.components import filter_components_by_peak, largest_component
-from vistaf_tpu.ops.distance import distance_transform_edt, erode_by_distance
+from vistaf_tpu.ops.distance import (distance_transform_edt, erode_by_distance,
+                                     get_distance_fn)
 from vistaf_tpu.ops.filters import (box_filter, gaussian_blur, hanning_window,
                                     masked_gaussian_smooth)
 from vistaf_tpu.ops.morphology import close as morph_close
@@ -72,7 +73,8 @@ class FTPGeometry:
 
 def detect_internal_holes(container: jnp.ndarray, known: jnp.ndarray,
                           ksize: int, frac_thr: float,
-                          min_dist_edge_px: float) -> jnp.ndarray:
+                          min_dist_edge_px: float,
+                          metric: str = "chamfer3") -> jnp.ndarray:
     """``compute_internal_holes_within_mask`` (``shape_ftp.py:1153-1176``):
     unknown pixels inside ``container`` whose (k x k) neighborhood is mostly
     known (boxFilter count fraction >= frac_thr) and that sit at least
@@ -84,7 +86,7 @@ def detect_internal_holes(container: jnp.ndarray, known: jnp.ndarray,
     count_known = box_filter(known.astype(jnp.float32), k)
     count_cont = box_filter(container.astype(jnp.float32), k)
     frac = count_known / (count_cont + 1e-6)
-    dist = distance_transform_edt(container, max_dist=int(min_dist_edge_px) + 4)
+    dist = get_distance_fn(metric)(container, max_dist=int(min_dist_edge_px) + 4)
     return holes & (frac >= float(frac_thr)) & (dist >= float(min_dist_edge_px))
 
 
@@ -172,7 +174,8 @@ class FTPPipeline:
             else:
                 reliable = largest_component(reliable) & roi
         if cfg.reliable_edge_margin_px > 0:
-            reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px)
+            reliable = erode_by_distance(reliable, cfg.reliable_edge_margin_px,
+                                         metric=cfg.distance_metric)
         return reliable, quality
 
     def _grating_band_prealign(self, ref_gray, def_gray, roi, apo, pctl):
@@ -202,7 +205,7 @@ class FTPPipeline:
         outside = roi & ~rel
         band = int(cfg.grating_prealign_band_px)
         if band > 0:
-            dist = distance_transform_edt(~rel, max_dist=band + 4)
+            dist = get_distance_fn(cfg.distance_metric)(~rel, max_dist=band + 4)
             dist_edge = jnp.maximum(dist - 1.0, 0.0)
             outside = outside & (dist_edge <= float(band))
         align_mask = outside
@@ -263,6 +266,8 @@ class FTPPipeline:
         def_gray = def_gray_full[y1:y2, x1:x2]
 
         # --- ECC crop alignment (shape_ftp.py:1530-1537)
+        ecc_warp = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        ecc_rho = jnp.float32(jnp.nan)
         if cfg.use_ecc_crop_alignment:
             crop01 = jnp.stack([ref_gray, def_gray]) / 255.0
             if cfg.ecc_gauss_filt and cfg.ecc_gauss_filt > 0:
@@ -274,6 +279,8 @@ class FTPPipeline:
                                         stride=cfg.ecc_stride,
                                         sampler=cfg.ecc_sampler,
                                         shear_k=cfg.ecc_shear_k)
+            ecc_warp = warp
+            ecc_rho = _rho
             if cfg.ecc_sampler == "shear":
                 # same small-warp regime as the GN loop: gather-free
                 def_gray = warp_affine_inverse_shear(def_gray, warp,
@@ -405,7 +412,8 @@ class FTPPipeline:
         if cfg.fill_internal_holes_in_reliable:
             cand = detect_internal_holes(
                 reliable, known_height, cfg.hole_neighborhood_px,
-                cfg.hole_known_fraction, cfg.hole_min_dist_from_reliable_edge_px)
+                cfg.hole_known_fraction, cfg.hole_min_dist_from_reliable_edge_px,
+                metric=cfg.distance_metric)
             med_known = pctl(height_map, known_height, 50.0)
             tmp = jnp.where(known_height, height_map, med_known)
             filled = inpaint_within_roi(tmp, reliable, cand,
@@ -418,7 +426,7 @@ class FTPPipeline:
         # --- frontier inside taper (shape_ftp.py:1803-1814)
         if cfg.frontier_zero_enable and cfg.frontier_zero_band_px > 0:
             rel = output_reliable
-            dist_in = distance_transform_edt(rel, max_dist=cfg.frontier_zero_band_px + 4)
+            dist_in = get_distance_fn(cfg.distance_metric)(rel, max_dist=cfg.frontier_zero_band_px + 4)
             dist_in_edge = jnp.maximum(dist_in - 1.0, 0.0)
             wgt = _curve01(dist_in_edge / max(1e-6, float(cfg.frontier_zero_band_px)),
                            cfg.frontier_zero_curve)
@@ -438,8 +446,8 @@ class FTPPipeline:
 
         # --- frontier outside band -> base (shape_ftp.py:1826-1837)
         if cfg.frontier_zero_enable and cfg.frontier_zero_band_px > 0:
-            dist_out = distance_transform_edt(~output_reliable,
-                                              max_dist=cfg.frontier_zero_band_px + 4)
+            dist_out = get_distance_fn(cfg.distance_metric)(
+                ~output_reliable, max_dist=cfg.frontier_zero_band_px + 4)
             dist_out_edge = jnp.maximum(dist_out - 1.0, 0.0)
             outside_band = roi & ~output_reliable & (dist_out_edge <= float(cfg.frontier_zero_band_px))
             height_final = jnp.where(outside_band, jnp.float32(cfg.unreliable_base_value), height_final)
@@ -464,7 +472,7 @@ class FTPPipeline:
         if cfg.filter_small_contact_blobs and cfg.output_height_in_mm:
             roi_f = roi & jnp.isfinite(height_out)
             depth = (-height_out if cfg.mm_keep_indentation_negative else height_out)
-            cand = roi_f & (depth > 0.0)
+            cand = roi_f & (depth > cfg.contact_blob_cand_eps_mm)
             gmax = masked_max(depth, cand)
             thr = jnp.maximum(jnp.float32(cfg.contact_blob_min_peak_mm),
                               jnp.float32(cfg.contact_blob_min_peak_rel_frac) * gmax)
@@ -502,6 +510,8 @@ class FTPPipeline:
                 "dbg_phase_zeroed": phase_zeroed,
                 # angle/amp pairs instead of raw complex: complex host
                 # fetches hit backend UNIMPLEMENTED on tunneled platforms
+                "dbg_ecc_warp": ecc_warp,
+                "dbg_ecc_rho": ecc_rho,
                 "dbg_phase_ref": jnp.angle(dref.complex_demod).astype(jnp.float32),
                 "dbg_phase_def": jnp.angle(ddef.complex_demod).astype(jnp.float32),
                 "dbg_i_norm_ref": dref.i_norm,

@@ -97,10 +97,64 @@ def distance_transform_edt(mask: jnp.ndarray, max_dist: int = 0) -> jnp.ndarray:
     return d.astype(jnp.float32)
 
 
-def erode_by_distance(mask: jnp.ndarray, margin_px: float) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def distance_transform_chamfer3(mask: jnp.ndarray, max_dist: int = 0) -> jnp.ndarray:
+    """cv2.distanceTransform(src, DIST_L2, maskSize=3) — the 3x3 chamfer
+    metric with OpenCV's weights a=0.955 (edge), b=1.3693 (diagonal).
+
+    cv2 computes it with two serial raster scans; here the same fixed point
+    is reached by iterating the 8-neighbor min-plus relaxation (one bounded
+    ``fori_loop`` of fused shift/min ops — each round propagates one pixel).
+    ``max_dist`` bounds the rounds: distances <= max_dist are exact in the
+    chamfer metric, farther pixels saturate.  Chamfer distances deviate from
+    Euclidean by up to ~4.5% direction-dependently, and the reference's
+    frontier tapers inherit that bias — use THIS transform wherever parity
+    with the committed outputs matters (all reference call sites use it:
+    shape_ftp.py:725,790,1172,1309,1312).
+    """
+    a, b = 0.955, 1.3693
+    h, w = mask.shape
+    big = jnp.float32(3e8)
+    d = jnp.where(mask, big, 0.0).astype(jnp.float32)
+
+    # The chamfer metric is the cone metric d(dx,dy) = b*min+a*(max-min)
+    # over |dx|,|dy|; a jump of s pixels along an axis costs exactly s*a and
+    # a diagonal jump s*b, so the binary decomposition of the optimal
+    # staircase path is itself optimal: descending power-of-2 relaxation
+    # (applied twice per scale, axis+diagonal legs of the same power can
+    # both occur) reaches the exact fixed point in O(log n) fused rounds
+    # instead of one round per pixel of distance.
+    reach = max(h, w) if not max_dist or max_dist <= 0 else min(
+        max(h, w), int(max_dist / a) + 2)
+    s = 1
+    scales = []
+    while s < reach:
+        scales.append(s)
+        s *= 2
+    passes = list(reversed(scales)) + list(reversed(scales)) + [1]
+
+    for s in passes:
+        for dy, dx, cost in ((0, s, s * a), (0, -s, s * a), (s, 0, s * a), (-s, 0, s * a),
+                             (s, s, s * b), (s, -s, s * b), (-s, s, s * b), (-s, -s, s * b)):
+            d = jnp.minimum(d, _shift2(d[..., None], dy, dx, big)[..., 0] + cost)
+    return jnp.where(mask, d, 0.0).astype(jnp.float32)
+
+
+def get_distance_fn(metric: str):
+    """'euclid' = exact jump-flooding EDT (TPU-fast); 'chamfer3' = cv2
+    DIST_L2 3x3 chamfer (reference-faithful)."""
+    if metric == "euclid":
+        return distance_transform_edt
+    if metric == "chamfer3":
+        return distance_transform_chamfer3
+    raise ValueError(f"unknown distance metric: {metric}")
+
+
+def erode_by_distance(mask: jnp.ndarray, margin_px: float,
+                      metric: str = "euclid") -> jnp.ndarray:
     """Keep pixels deeper than ``margin_px`` from the mask boundary
     (``shape_ftp.py:721-726``)."""
     if margin_px <= 0:
         return mask
-    dist = distance_transform_edt(mask, max_dist=2 * int(margin_px) + 2)
+    dist = get_distance_fn(metric)(mask, max_dist=2 * int(margin_px) + 2)
     return (dist > float(margin_px)) & mask

@@ -74,15 +74,26 @@ def _apply_wlap(phi: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarr
     return _div2(fx, fy)
 
 
-@functools.partial(jax.jit, static_argnames=("cg_iters",))
+@functools.partial(jax.jit, static_argnames=("cg_iters", "congruent"))
 def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
-               cg_iters: int = 30, tol: float = 1e-8) -> jnp.ndarray:
+               cg_iters: int = 30, tol: float = 1e-8,
+               congruent: bool = True) -> jnp.ndarray:
     """Weighted least-squares unwrap of ``wrapped`` over ``mask``.
 
     Outside the mask the weights are zero, so those pixels do not constrain
     the solution.  The result is anchored so its masked mean equals the
     masked mean of the wrapped input (gauge fixing; the caller detrends and
     re-zeros anyway).
+
+    ``congruent=True`` projects the smooth WLS solution back onto the
+    lattice ``wrapped + 2*pi*k`` (Ghiglia & Pritt's congruence step).  The
+    reference's quality-guided flood fill (``shape_ftp.py:1043-1080``) is
+    congruent by construction — it accumulates exact wrapped differences —
+    so without this step the WLS approximation error spreads smoothly over
+    the whole map (and the k-rounding of any path method turns into
+    hypersensitivity to ~1e-3 px alignment changes near steep fringes).
+    With it, disagreements collapse to isolated exact-2*pi pixels that the
+    robust detrend downweights.
     """
     psi = jnp.where(mask, wrapped, 0.0).astype(jnp.float32)
     m = mask.astype(jnp.float32)
@@ -125,9 +136,14 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
     phi, r, _, _, _ = jax.lax.while_loop(
         cond, body, (phi0, r0, p0, rz0, jnp.int32(0)))
 
-    # gauge: congruence with the wrapped input on the masked mean
+    # gauge: anchor to the wrapped input on the masked mean
     n = jnp.maximum(jnp.sum(m), 1.0)
     mean_shift = jnp.sum((psi - phi) * m) / n
     phi = phi + mean_shift
+
+    if congruent:
+        two_pi = 2.0 * jnp.pi
+        k = jnp.round((phi - psi) / two_pi)
+        phi = psi + two_pi * k
 
     return jnp.where(mask, phi, jnp.nan).astype(jnp.float32)
