@@ -56,7 +56,9 @@ def test_hist_multi_matches_single(rng):
     rows = np.asarray(masked_percentile_hist_rows(
         jnp.asarray(np.stack([x.ravel(), (x * 2 + 1).ravel()])),
         jnp.asarray(np.stack([m.ravel(), m.ravel()])), (99.9, 50.0)))
-    # extreme-tail percentiles carry the local order-stat spacing (~0.1 here)
-    # on top of the bracket resolution; compare at that scale
-    assert abs(rows[0] - np.percentile(x[m], 99.9)) < 3e-3 * np.ptp(x[m])
+    # extreme-tail percentiles carry the local order-stat spacing on top of
+    # the bracket resolution; assert on the RANK of the returned threshold
+    n = int(m.sum())
+    rank = (x[m] <= rows[0]).sum()
+    assert abs(rank - 0.999 * (n - 1)) <= 3
     assert abs(rows[1] - np.percentile(x[m] * 2 + 1, 50.0)) < 2e-3 * np.ptp(x[m])

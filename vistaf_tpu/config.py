@@ -106,9 +106,12 @@ class FTPConfig:
     # candidate-mask depth floor for blob labeling.  The reference uses a
     # strict depth > 0 (shape_ftp.py:1234), which makes blob TOPOLOGY (and
     # so the keep/drop of near-threshold lobes) depend on float-dust-level
-    # sign flips of ~1e-6 mm bridge pixels; 1 um is far below measurement
-    # noise and pins the topology.  Set 0.0 for the literal reference rule.
-    contact_blob_cand_eps_mm: float = 1e-3
+    # sign flips of ~um-deep bridge pixels.  Defaulting to the system's own
+    # contact threshold (ForceConfig.depth_eps_mm = 0.01) is principled —
+    # pixels that cannot contribute contact volume do not define blob
+    # connectivity — and pins the topology across numeric presets.
+    # Set 0.0 for the literal reference rule.
+    contact_blob_cand_eps_mm: float = 1e-2
 
     # --- Alignment (shape_ftp.py:174-197) ---
     apply_global_shift: bool = True

@@ -172,8 +172,9 @@ def masked_percentile_hist_rows(X: jnp.ndarray, M: jnp.ndarray, qs: tuple,
 
 
 def get_percentile_fn(method: str):
-    """Select the percentile implementation: 'sort' (exact, NumPy-faithful)
-    or 'hist' (two-pass histogram, much cheaper on TPU)."""
+    """Select the percentile implementation: 'sort' (exact, NumPy-faithful),
+    'hist' (histogram refinement, XLA), or 'hist_pallas' (same ladder
+    numerics fused into one Pallas kernel launch per call)."""
     if method == "sort":
         return masked_percentile
     if method == "hist":
@@ -181,6 +182,14 @@ def get_percentile_fn(method: str):
             if isinstance(q, (tuple, list)):
                 return masked_percentile_hist_multi(arr, mask, tuple(q), fallback=fallback)
             return masked_percentile_hist(arr, mask, q, fallback=fallback)
+        return f
+    if method == "hist_pallas":
+        from vistaf_tpu.pallas.quantile_kernel import masked_quantiles_pallas
+
+        def f(arr, mask, q, fallback=0.0):
+            qs = tuple(q) if isinstance(q, (tuple, list)) else (q,)
+            out = masked_quantiles_pallas(arr, mask, qs)
+            return out if isinstance(q, (tuple, list)) else out[0]
         return f
     raise ValueError(f"unknown percentile method: {method}")
 

@@ -65,12 +65,17 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
     zv = zz.ravel()
     mv = mf.ravel()
 
+    med_mad = None
     if percentile_method == "hist":
         # refine=1 inside the weight loop: sigma only scales the soft
         # redescending weights, so range/128^2 resolution is ample
         # (refine=0 was tried and moves bench-scale force by ~0.07%)
         from vistaf_tpu.ops.percentile import masked_percentile_hist
         pctl = lambda a, mm, q: masked_percentile_hist(a, mm, q, refine=1)
+    elif percentile_method == "hist_pallas":
+        from vistaf_tpu.pallas.quantile_kernel import masked_median_mad_pallas
+        med_mad = lambda a, mm: masked_median_mad_pallas(a, mm, refine=1)
+        pctl = None
     else:
         pctl = get_percentile_fn(percentile_method)
 
@@ -95,8 +100,12 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
         r = zv - coef @ B
         if i < resigma_iters:
             r2 = r.reshape(h, w)
-            med = pctl(r2, m, 50.0)
-            mad = pctl(jnp.abs(r2 - med), m, 50.0) + 1e-6
+            if med_mad is not None:
+                med, mad = med_mad(r2, m)
+                mad = mad + 1e-6
+            else:
+                med = pctl(r2, m, 50.0)
+                mad = pctl(jnp.abs(r2 - med), m, 50.0) + 1e-6
             sigma = 1.4826 * mad
         u = r / (c * sigma)
         wts = 1.0 / (1.0 + u * u)

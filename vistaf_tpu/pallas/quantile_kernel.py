@@ -1,0 +1,153 @@
+"""Fused masked-quantile Pallas kernel.
+
+The masked histogram percentile is the hottest primitive in the FTP graph
+(bad-pixel thresholds, reliability threshold, IRLS robust scale, contact
+thresholds, background medians — ~20 calls per frame).  The XLA lowering
+runs each counting pass as its own kernel chain over an (N, B) broadcast
+compare (~50 us per pass at N=55k on a launch-bound graph); here the whole
+iterative refinement — range pass + ``1+refine`` counting passes for every
+requested quantile — runs inside ONE ``pallas_call`` with the data resident
+in VMEM.
+
+Reference for the semantics: ``vistaf_tpu.ops.percentile
+.masked_percentile_hist`` (bracket-refinement percentile; bin midpoint).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(qs, bins, refine, x_ref, m_ref, out_ref):
+    x = x_ref[:]                     # (R, 128) f32, padded tail masked out
+    m = m_ref[:]                     # (R, 128) f32 0/1
+    big = jnp.float32(3e38)
+
+    n = jnp.sum(m)
+    lo0 = jnp.min(jnp.where(m > 0, x, big))
+    hi0 = jnp.max(jnp.where(m > 0, x, -big))
+
+    for qi, q in enumerate(qs):
+        target = jnp.float32(q / 100.0) * jnp.maximum(n - 1.0, 0.0)
+        lo, hi = lo0, hi0
+        for _ in range(1 + refine):
+            span = jnp.maximum(hi - lo, 1e-30)
+            scale = jnp.float32(bins) / span
+
+            def bin_body(b, carry):
+                lo_, span_, bin_i = carry
+                e = lo_ + span_ * (b + 1).astype(jnp.float32) / bins
+                cnt = jnp.sum(jnp.where((x <= e) & (m > 0), 1.0, 0.0))
+                return lo_, span_, bin_i + (cnt <= target).astype(jnp.int32)
+
+            _, _, bin_i = jax.lax.fori_loop(
+                0, bins, bin_body, (lo, span, jnp.int32(0)))
+            bin_i = jnp.clip(bin_i, 0, bins - 1)
+            new_lo = lo + span * bin_i.astype(jnp.float32) / bins
+            hi = lo + span * (bin_i + 1).astype(jnp.float32) / bins
+            lo = new_lo
+        v = 0.5 * (lo + hi)
+        out_ref[0, qi] = jnp.where(n > 0, v, 0.0)
+
+
+def _pad_to_rows(arr: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    flat = arr.ravel()
+    n = flat.shape[0]
+    rows = -(-n // 128)
+    pad = rows * 128 - n
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat.reshape(rows, 128), pad
+
+
+@functools.partial(jax.jit, static_argnames=("qs", "bins", "refine", "interpret"))
+def masked_quantiles_pallas(arr: jnp.ndarray, mask: jnp.ndarray, qs: tuple,
+                            bins: int = 128, refine: int = 2,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Masked bracket-refinement quantiles of ``arr`` over ``mask`` in one
+    fused kernel.  Returns a (len(qs),) float32 vector; numerics match
+    ``masked_percentile_hist`` (same ladder, same bin-midpoint estimate)."""
+    x = arr.astype(jnp.float32)
+    m = (mask if mask is not None else jnp.ones_like(x, dtype=bool))
+    m = (m & jnp.isfinite(x)).astype(jnp.float32)
+    x = jnp.where(m > 0, x, 0.0)
+
+    x2, _ = _pad_to_rows(x)
+    m2, _ = _pad_to_rows(m)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, qs, bins, refine),
+        out_shape=jax.ShapeDtypeStruct((1, len(qs)), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, m2)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "refine", "interpret"))
+def masked_median_mad_pallas(arr: jnp.ndarray, mask: jnp.ndarray,
+                             bins: int = 128, refine: int = 1,
+                             interpret: bool = False):
+    """(median, MAD) of ``arr`` over ``mask`` fused into one kernel: the MAD
+    ladder passes reuse the VMEM-resident data as |x - med| on the fly.
+    This is the IRLS robust-scale pair (``shape_ftp.py:1118-1128``), the
+    single most repeated percentile use in the pipeline."""
+    x = arr.astype(jnp.float32)
+    m = (mask if mask is not None else jnp.ones_like(x, dtype=bool))
+    m = (m & jnp.isfinite(x)).astype(jnp.float32)
+    x = jnp.where(m > 0, x, 0.0)
+    x2, _ = _pad_to_rows(x)
+    m2, _ = _pad_to_rows(m)
+
+    def kern(x_ref, m_ref, out_ref):
+        x = x_ref[:]
+        m = m_ref[:]
+        big = jnp.float32(3e38)
+        n = jnp.sum(m)
+        target = jnp.float32(0.5) * jnp.maximum(n - 1.0, 0.0)
+
+        def refine_quantile(vals, lo, hi):
+            l, h = lo, hi
+            for _ in range(1 + refine):
+                span = jnp.maximum(h - l, 1e-30)
+
+                def bin_body(b, carry):
+                    l_, span_, bin_i = carry
+                    e = l_ + span_ * (b + 1).astype(jnp.float32) / bins
+                    cnt = jnp.sum(jnp.where((vals <= e) & (m > 0), 1.0, 0.0))
+                    return l_, span_, bin_i + (cnt <= target).astype(jnp.int32)
+
+                _, _, bin_i = jax.lax.fori_loop(
+                    0, bins, bin_body, (l, span, jnp.int32(0)))
+                bin_i = jnp.clip(bin_i, 0, bins - 1)
+                nl = l + span * bin_i.astype(jnp.float32) / bins
+                h = l + span * (bin_i + 1).astype(jnp.float32) / bins
+                l = nl
+            return 0.5 * (l + h)
+
+        lo0 = jnp.min(jnp.where(m > 0, x, big))
+        hi0 = jnp.max(jnp.where(m > 0, x, -big))
+        med = refine_quantile(x, lo0, hi0)
+        ax = jnp.abs(x - med)
+        hi1 = jnp.maximum(hi0 - med, med - lo0)
+        mad = refine_quantile(ax, jnp.float32(0.0), hi1)
+        out_ref[0, 0] = jnp.where(n > 0, med, 0.0)
+        out_ref[0, 1] = jnp.where(n > 0, mad, 0.0)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, m2)
+    return out[0, 0], out[0, 1]
