@@ -56,3 +56,27 @@ def test_temperature_debug_filename_set(tmp_path):
     write_temperature_debug(str(tmp_path), img, tres, bbox=None)
     files = set(os.listdir(tmp_path))
     assert TEMP_DEBUG_SET <= files, TEMP_DEBUG_SET - files
+
+
+def test_temperature_debug_bbox_crop(tmp_path):
+    """The crop bbox is (y0, y1, x0, x1) per ops.geometry.bbox_from_mask —
+    the cropped debug PNGs must have exactly the ROI extent (a swapped-axes
+    unpack would produce (x-span, y-span)-shaped crops here)."""
+    import cv2
+    from vistaf_tpu.ops.geometry import bbox_from_mask
+    from vistaf_tpu.runner.debug_artifacts import write_temperature_debug
+
+    H, W = 120, 160
+    rng = np.random.default_rng(1)
+    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    roi = np.zeros((H, W), bool)
+    cv2.circle(roi.view(np.uint8), (140, 50), 30, 1, -1)  # clipped at x=W
+    dark = roi & (np.arange(W)[None, :] % 8 < 4)
+    bbox = bbox_from_mask(roi, pad=5)
+    y0, y1, x0, x1 = bbox
+    assert (y1 - y0) != (x1 - x0)  # asymmetric crop so a swap is detectable
+    write_temperature_debug(str(tmp_path), img, {"roi_full": roi, "mask_dark": dark},
+                            bbox=bbox)
+    for name in ("debug_seg_overlay.png", "debug_chroma_u8.png"):
+        out = cv2.imread(str(tmp_path / name), cv2.IMREAD_UNCHANGED)
+        assert out.shape[:2] == (y1 - y0, x1 - x0), (name, out.shape)

@@ -53,3 +53,27 @@ def test_force_golden(force_pipeline, ref_frame, scene):
     # the FFT carrier estimate must be essentially exact
     assert abs(out["estimated_grating_period_px"] - gold["estimated_grating_period_px"]) < 0.01
     assert abs(out["mm_per_px"] - gold["mm_per_px"]) < 1e-6
+
+
+def test_final_f_eps0_reference_literal_razor_bridge(force_pipeline, ref_frame):
+    """Pin what 'restorable to 0' restores (VERDICT r2 weak #8): with the
+    literal reference candidate rule (contact_blob_cand_eps_mm=0,
+    shape_ftp.py:1234) FINAL_F's 62k-px shallow lobe stays attached through
+    the razor bridge and survives the peak filter, inflating force ~+9%
+    over the committed golden (TPU r3 measurement: +9.26%, V=0.1617)."""
+    from vistaf_tpu.config import FTPConfig
+    from vistaf_tpu.pipelines.force import ForcePipeline
+    from vistaf_tpu.runner.io import imread_bgr
+
+    pipe0 = ForcePipeline.from_artifacts(
+        REFERENCE_ROOT, ftp_cfg=FTPConfig(contact_blob_cand_eps_mm=0.0))
+    d = imread_bgr(os.path.join(REFERENCE_ROOT,
+                                "Final_demos_images/FINAL_F_deformed.jpg"))
+    out = pipe0(ref_frame, d, roi_from_finite=True)
+    with open(os.path.join(REFERENCE_ROOT, "Multimodal_Sensor/Demos_report/"
+                           "FINAL_F_deformed/force_sensing/result.json")) as f:
+        gold = json.load(f)
+    dpct = (out["force_N"] - gold["force_N"]) / gold["force_N"] * 100
+    # the lobe's volume contribution is ~0.007 cm3 (~+9% force); anywhere in
+    # [5, 14]% means the bridge connected it exactly as the literal rule does
+    assert 5.0 < dpct < 14.0, dpct

@@ -64,3 +64,35 @@ def test_filter_components_by_peak(rng):
     assert keep[24, 34]
     assert keep[20:28, 30:40].all()
     assert not keep[4:10, 4:10].any()
+
+
+def test_blob_candidate_eps_pins_razor_bridge_topology():
+    """Regression pin for FTPConfig.contact_blob_cand_eps_mm (VERDICT r2 #9).
+
+    The reference's literal candidate rule is strict depth > 0
+    (shape_ftp.py:1234), which makes blob topology depend on um-deep bridge
+    pixels: a 1-px bridge of float-dust depth connects a shallow lobe to a
+    deep blob, so the lobe survives the peak filter.  With the candidate
+    floor at the contact threshold (eps=1e-2 mm) the bridge is cut and the
+    lobe is dropped.  Measured on TPU at 4K (r3): eps=0 reproduces the
+    razor-bridge sensitivity on FINAL_F (+9.26% force vs the committed
+    golden); eps=1e-2 lands at -0.02% -- which is why eps=1e-2 stays the
+    default despite deviating from the literal rule."""
+    import jax.numpy as jnp
+    from vistaf_tpu.ops.components import filter_components_by_peak
+
+    depth = np.zeros((32, 48), np.float32)
+    depth[8:24, 4:16] = 1.0          # deep blob, peak 1.0 mm
+    depth[15, 16:30] = 5e-3          # razor bridge, 5 um deep
+    depth[8:24, 30:42] = 0.05        # shallow lobe, peak 0.05 mm
+    thr = 0.1                        # contact_blob_min_peak_mm
+
+    def run(eps):
+        cand = jnp.asarray(depth > eps)
+        kept = filter_components_by_peak(cand, jnp.asarray(depth), jnp.float32(thr))
+        return np.asarray(kept)
+
+    kept0 = run(0.0)       # literal reference rule: bridge connects -> lobe kept
+    assert kept0[16, 36] and kept0[15, 20]
+    kept_eps = run(1e-2)   # pinned topology: bridge cut -> lobe dropped
+    assert kept_eps[16, 8] and not kept_eps[16, 36]

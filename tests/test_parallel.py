@@ -62,3 +62,35 @@ def test_whole_limb_map_assembly_on_mesh():
     assert abs(float(out["max_depth_mm"]) - limb.max()) < 1e-5
     forces = np.asarray(out["per_stream_force"])
     np.testing.assert_allclose(float(out["total_force_N"]), forces.sum(), rtol=1e-6)
+
+
+def test_whole_limb_map_negative_indentation_sign():
+    """With mm_keep_indentation_negative=True the heightmap keeps indentation
+    negative; the limb map must auto-detect the sign (mirroring
+    depth_map_to_volume_cm3 / force_sensor.py:106-108) instead of going
+    all-zero."""
+    import jax.numpy as jnp
+    from vistaf_tpu.ftp.pipeline import FTPPipeline
+    from vistaf_tpu.parallel.mesh import (BatchedForce, make_stream_mesh,
+                                          shard_batch, whole_limb_step)
+    from vistaf_tpu.utils.synthetic import scaled_ftp_config, synthetic_pair
+
+    H, W, n = 144, 192, 8
+    cfg = scaled_ftp_config(H, W).replace(
+        percentile_method="hist", unwrap_cg_iters=8, ecc_iters=20,
+        inpaint_iters=8, mm_keep_indentation_negative=True)
+    p2h = {"type": "hinge_saturating", "params": {"a": 2.08, "b": 4.2, "c": 0.0}}
+    pipe = FTPPipeline(cfg, p2h)
+    bf = BatchedForce(pipe, {"type": "growth", "params": {"a": 1.62, "b": 9.76}})
+    mesh = make_stream_mesh(n)
+    step = whole_limb_step(bf, mesh, map_stride=2)
+
+    ref, de = synthetic_pair(H, W, cfg)
+    ref_b = shard_batch(mesh, jnp.asarray(np.broadcast_to(ref, (n,) + ref.shape).copy()))
+    def_b = shard_batch(mesh, jnp.asarray(np.broadcast_to(de, (n,) + de.shape).copy()))
+    out = step(ref_b, def_b)
+    jax.block_until_ready(out)
+
+    limb = np.asarray(out["whole_limb_map_mm"])
+    assert limb.max() > 0.01  # nonzero contact despite negative-kept heights
+    assert abs(float(out["max_depth_mm"]) - limb.max()) < 1e-5

@@ -9,7 +9,7 @@ import pytest
 from tests.conftest import REFERENCE_ROOT, reference_available
 
 
-def test_session_artifact_contract(tmp_path):
+def test_session_artifact_contract(tmp_path, monkeypatch):
     import cv2
     from vistaf_tpu.config import ForceConfig, SessionConfig
     from vistaf_tpu.ftp.pipeline import FTPPipeline
@@ -40,8 +40,15 @@ def test_session_artifact_contract(tmp_path):
     cv2.imwrite(def_p, de)
 
     out_root = str(tmp_path / "sessions")
+    shown = []
+    from vistaf_tpu.runner import figures
+    monkeypatch.setattr(figures, "show_heightmap_3d_interactive",
+                        lambda *a, **k: shown.append(a))
     summary = run_session(pipe, ref_p, def_p, str(tmp_path),
-                          SessionConfig(output_root=out_root), timestamp="TEST")
+                          SessionConfig(output_root=out_root,
+                                        show_3d_interactive=True),
+                          timestamp="TEST")
+    assert len(shown) == 1  # C16: the flag must reach the 3-D viewer
 
     sdir = os.path.join(out_root, "session_TEST")
     # file tree contract (multimodal_sensor.py:81-85, 649-665)
@@ -83,3 +90,20 @@ def test_session_artifact_contract(tmp_path):
               "estimated_grating_period_px", "mm_per_px", "volume_cm3",
               "contact_area_mm2", "max_depth_mm", "force_N", "force_model"):
         assert k in r
+
+
+def test_show_heightmap_3d_interactive_headless():
+    """SessionConfig.show_3d_interactive consumer: on a headless (Agg)
+    backend the interactive window degrades to a no-op render and returns
+    immediately (multimodal_sensor.py:670-679)."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from vistaf_tpu.runner import figures
+
+    hm = np.zeros((40, 50), np.float32)
+    hm[10:20, 10:20] = -0.5
+    mask = np.isfinite(hm)
+    figures.show_heightmap_3d_interactive(hm, mask, "test")  # must not block
+
+
+

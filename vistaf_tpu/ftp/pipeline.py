@@ -207,7 +207,12 @@ class FTPPipeline:
         if band > 0:
             dist = get_distance_fn(cfg.distance_metric)(~rel, max_dist=band + 4)
             dist_edge = jnp.maximum(dist - 1.0, 0.0)
-            outside = outside & (dist_edge <= float(band))
+            banded = outside & (dist_edge <= float(band))
+            # reference guard (shape_ftp.py:787 `np.any(rel)`): with an empty
+            # pass-1 reliable mask the distance field has no zero seeds, so
+            # skip the band restriction and align over the whole outside-ROI
+            # region instead of collapsing to an identity warp.
+            outside = jnp.where(jnp.any(rel), banded, outside)
         align_mask = outside
 
         def highpass_norm(img):

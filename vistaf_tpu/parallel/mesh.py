@@ -144,7 +144,15 @@ def whole_limb_step(batched_force: BatchedForce, mesh: Mesh,
     def step(ref_b, def_b):
         out = jax.vmap(single)(ref_b, def_b)
         hm = out["height_map_mm"]
-        contact_depth = jnp.where(jnp.isfinite(hm) & (hm > eps), hm, 0.0)
+        # indentation-sign auto-detect per stream, mirroring
+        # depth_map_to_volume_cm3 (force_sensor.py:106-108): whichever of
+        # (+Z, -Z) integrates larger is the indentation side, so the limb
+        # map stays correct with mm_keep_indentation_negative=True.
+        hmf = jnp.where(jnp.isfinite(hm), hm, 0.0)
+        pos_sum = jnp.sum(jnp.clip(hmf, 0.0, jnp.inf), axis=(1, 2), keepdims=True)
+        neg_sum = jnp.sum(jnp.clip(-hmf, 0.0, jnp.inf), axis=(1, 2), keepdims=True)
+        depth = jnp.where(neg_sum > pos_sum, -hmf, hmf)
+        contact_depth = jnp.where(jnp.isfinite(hm) & (depth > eps), depth, 0.0)
         if map_stride > 1:
             contact_depth = contact_depth[:, ::map_stride, ::map_stride]
         return fuse_sm(out["force_N"], out["contact_area_mm2"],

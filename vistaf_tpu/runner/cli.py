@@ -42,6 +42,13 @@ def cmd_force(args) -> int:
                           pipe.force_cfg.grating_pitch_mm, pipe.force_cfg.depth_eps_mm)
     if args.export_heightmaps:
         io.export_heightmap_files(ftp_dir, "height_map", out["height_map_mm_crop"])
+    if getattr(args, "show_3d", False):
+        # interactive surface popup (force_sensor.py:66-87, 227-229)
+        import numpy as np
+        from vistaf_tpu.runner import figures
+        figures.show_heightmap_3d_interactive(
+            out["height_map_mm_crop"], out["roi_eroded_crop"],
+            f"Height map (interactive 3D) - Force: {out['force_N']:.2f} N")
     print(f"volume_cm3    = {out['volume_cm3']:.6g}")
     print(f"force_N       = {out['force_N']:.6g}")
     print(f"max_depth_mm  = {out['max_depth_mm']:.6g}")
@@ -96,7 +103,8 @@ def cmd_multimodal(args) -> int:
     from vistaf_tpu.runner.session import run_session
 
     pipe = MultimodalPipeline.from_artifacts(args.data_root)
-    cfg = SessionConfig(output_root=args.out)
+    cfg = SessionConfig(output_root=args.out,
+                        show_3d_interactive=getattr(args, "show_3d", False))
     summary = run_session(pipe, args.ref, getattr(args, "def"), args.data_root, cfg)
     sr = summary["sensor_readings"]
     print(f"Force:       {sr['force']['force_N']:.3f} N")
@@ -165,6 +173,9 @@ def main(argv=None) -> int:
     p.add_argument("--def", required=True)
     p.add_argument("--out", default="./force_sensor_out")
     p.add_argument("--export-heightmaps", action="store_true")
+    p.add_argument("--show-3d", dest="show_3d", action="store_true",
+                   help="open the interactive 3-D heightmap window "
+                        "(force_sensor.py SHOW_3D)")
     p.add_argument("--debug", action="store_true",
                    help="write the reference DEBUG_* figure set + debug_log.txt")
     _add_data_root(p)
@@ -182,6 +193,9 @@ def main(argv=None) -> int:
     p.add_argument("--ref", required=True)
     p.add_argument("--def", required=True)
     p.add_argument("--out", default="./Multimodal_Sensor/run_output")
+    p.add_argument("--show-3d", dest="show_3d", action="store_true",
+                   help="open the interactive 3-D heightmap window "
+                        "(multimodal_sensor.py SHOW_3D_HEIGHTMAP_INTERACTIVE)")
     _add_data_root(p)
     p.set_defaults(fn=cmd_multimodal)
 

@@ -193,10 +193,10 @@ def write_temperature_debug(outdir: str, img_bgr: np.ndarray,
     os.makedirs(outdir, exist_ok=True)
 
     def crop(a):
-        if bbox is None:
-            return a
-        x1, x2, y1, y2 = bbox
-        return a[y1:y2, x1:x2]
+        # bbox is (y0, y1, x0, x1) as produced by ops.geometry.bbox_from_mask
+        # (the TemperaturePipeline crop_bbox convention) — reuse io.crop2d.
+        from vistaf_tpu.runner.io import crop2d
+        return crop2d(a, bbox)
 
     gray = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2GRAY)
     roi = np.asarray(tres["roi_full"], bool)

@@ -108,12 +108,10 @@ def save_horizontal_legend(output_dir: str, vmin: float, vmax: float,
     return path
 
 
-def save_heightmap_3d(output_dir: str, height_map: np.ndarray,
-                      circ_mask: Optional[np.ndarray], title: str,
-                      filename: str = "heightmap_3d.png") -> str:
-    """Static render of the interactive 3-D surface
-    (``shape_ftp.py:1330-1351``)."""
-    plt = _plt()
+def _heightmap_3d_figure(plt, height_map: np.ndarray,
+                         circ_mask: Optional[np.ndarray], title: str):
+    """Downsampled 3-D surface figure of a (masked) heightmap
+    (``force_sensor.py:66-87``, ``shape_ftp.py:1330-1351``)."""
     h, w = height_map.shape
     Y, X = np.mgrid[0:h, 0:w]
     Z = height_map.astype(float).copy()
@@ -130,10 +128,44 @@ def save_heightmap_3d(output_dir: str, height_map: np.ndarray,
     ax.set_ylabel("y (pixels)")
     ax.set_zlabel("height (mm)")
     fig.colorbar(surf, shrink=0.6, label="mm")
+    return fig
+
+
+def save_heightmap_3d(output_dir: str, height_map: np.ndarray,
+                      circ_mask: Optional[np.ndarray], title: str,
+                      filename: str = "heightmap_3d.png") -> str:
+    """Static render of the interactive 3-D surface
+    (``shape_ftp.py:1330-1351``)."""
+    plt = _plt()
+    fig = _heightmap_3d_figure(plt, height_map, circ_mask, title)
     path = os.path.join(output_dir, filename)
     fig.savefig(path, dpi=200, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def show_heightmap_3d_interactive(height_map: np.ndarray,
+                                  circ_mask: Optional[np.ndarray],
+                                  title: str, block: bool = True) -> None:
+    """Open the interactive 3-D heightmap window and block until the user
+    closes it (``multimodal_sensor.py:670-679``, ``force_sensor.py:66-87``).
+
+    Uses the default (GUI) matplotlib backend; on a headless/Agg session the
+    window is a no-op render and the call returns immediately."""
+    import matplotlib
+    if os.environ.get("DISPLAY") and matplotlib.get_backend().lower().endswith("agg"):
+        # save_* helpers force Agg; restore a GUI backend when a display exists
+        for backend in ("QtAgg", "TkAgg", "GTK3Agg"):
+            try:
+                matplotlib.use(backend, force=True)
+                break
+            except Exception:
+                continue
+    import matplotlib.pyplot as plt
+    fig = _heightmap_3d_figure(plt, height_map, circ_mask, title)
+    headless = matplotlib.get_backend().lower().endswith("agg")
+    plt.show(block=block and not headless)
+    plt.close(fig)
 
 
 def save_force_shape_right_panel(combined_dir: str, height_vis: np.ndarray,

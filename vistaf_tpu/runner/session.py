@@ -244,4 +244,11 @@ def run_session(pipeline: MultimodalPipeline, reference_image: str,
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(combined_dir, f"temp_{fname}"))
 
+    # optional interactive 3-D heightmap window, closed by the user
+    # (multimodal_sensor.py:670-679)
+    if cfg.show_3d_interactive:
+        figures.show_heightmap_3d_interactive(
+            f["height_map_mm_crop"], np.isfinite(f["height_map_mm_crop"]),
+            f"3D Heightmap (Interactive) - Force: {f['force_N']:.2f} N")
+
     return summary
