@@ -159,7 +159,8 @@ def cmd_pretest(args) -> int:
         c = geometry.circle_from_3_points_exact(cfg.outer_circle_p1, cfg.outer_circle_p2,
                                                 cfg.outer_circle_p3)
         mask = geometry.circular_mask(h, w, *c)
-    out = pretest.analyze(args.pattern, mask, dt_s=args.dt)
+    out = pretest.analyze(args.pattern, mask, dt_s=args.dt,
+                          out_dir=args.out, label=args.label)
     print(json.dumps(out["stabilization"], indent=2))
     return 0
 
@@ -228,6 +229,9 @@ def main(argv=None) -> int:
     p.add_argument("--pattern", required=True)
     p.add_argument("--dt", type=float, default=20.0)
     p.add_argument("--roi", default="outer", choices=["outer", "full"])
+    p.add_argument("--out", default=None,
+                   help="directory for Figure_1_pretest_<label>.png")
+    p.add_argument("--label", default="series")
     p.set_defaults(fn=cmd_pretest)
 
     args = ap.parse_args(argv)

@@ -143,4 +143,11 @@ def train(reference_path: str, deformed_dir: str, output_dir: str,
         "candidates_summary": summary,
     }
     save_json(os.path.join(output_dir, "calibration_model.json"), model_out)
+
+    # diagnostic plots (height_to_force.py:487-532)
+    from vistaf_tpu.calib.scalar_models import predict as model_predict
+    from vistaf_tpu.trainers import plots
+    plots.save_h2f_plots(output_dir, rows,
+                         lambda xs: model_predict(best, xs, xp=np),
+                         list(force_levels))
     return model_out

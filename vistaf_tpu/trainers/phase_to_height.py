@@ -134,4 +134,11 @@ def train(reference_path: str, samples: Sequence[Tuple[str, float]],
         ),
     }
     save_json(os.path.join(output_dir, "calibration_model.json"), model_out)
+
+    # calibration-curve plot (phase_to_height.py:1548-1571)
+    from vistaf_tpu.calib.scalar_models import predict as model_predict
+    from vistaf_tpu.trainers import plots
+    plots.save_p2h_plot(output_dir, x, y,
+                        lambda xs: model_predict(best, xs, xp=np),
+                        use_negated=use_negated_height)
     return model_out

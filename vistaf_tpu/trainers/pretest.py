@@ -81,13 +81,27 @@ def detect_stabilization_time(values: np.ndarray, dt_s: float = DEFAULT_DT_S,
     return None
 
 
-def analyze(pattern: str, roi_mask: np.ndarray, dt_s: float = DEFAULT_DT_S) -> Dict:
+def analyze(pattern: str, roi_mask: np.ndarray, dt_s: float = DEFAULT_DT_S,
+            out_dir: Optional[str] = None, label: Optional[str] = None) -> Dict:
+    """Run the pretest series analysis; with ``out_dir``, also save the
+    reference's result figure (``Figure_1_pretest_<label>.png``, matching the
+    committed ``Temperature/Pretest_Stable_Time/Figure_1_pretest_*.png``)."""
     files = load_series_sorted(pattern)
     series = mean_L_series(files, roi_mask)
     stab = detect_stabilization_time(series, dt_s=dt_s)
-    return {
+    out = {
         "n_frames": len(files),
         "dt_s": dt_s,
         "mean_L": series.tolist(),
         "stabilization": stab,
     }
+    if out_dir is not None:
+        from vistaf_tpu.trainers import plots
+        os.makedirs(out_dir, exist_ok=True)
+        name = label or "series"
+        fig_path = os.path.join(out_dir, f"Figure_1_pretest_{name}.png")
+        times = np.arange(len(series)) * dt_s
+        plots.save_pretest_figure(fig_path, times, series,
+                                  stab["time_s"] if stab else None, pattern)
+        out["figure_path"] = fig_path
+    return out

@@ -86,6 +86,7 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
         return {
             "degree": deg,
             "weights": weights,
+            "pred_frames": pred_frames,
             "metrics_frames": tc.compute_metrics(y_frames, pred_frames),
             "metrics_means": tc.compute_metrics(np.asarray(temps, float), pred_means),
         }
@@ -143,4 +144,27 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
                    "pixel_sampling": {"pixels_per_image": int(pixels_per_image),
                                       "max_total": int(max_total_samples),
                                       "seed": int(seed)}})
+
+    # diagnostic figures 00-06 (temperature_black_model.py:871-957)
+    from vistaf_tpu.trainers import plots
+    gy = "Mean gray in ROI"
+    plots.save_annulus_roi_overlay(os.path.join(out_dir, "00_roi_overlay.png"),
+                                   first, mask, inner_circle, outer_circle)
+    plots.plot_feat_vs_T_run(os.path.join(out_dir, "01_heating_gray_vs_T_modelcurve.png"),
+                             "Black TLC Heating Model — gray vs T", gy,
+                             plots.COLOR_HEAT, y_heat_full, heat_mean[:, 3])
+    plots.plot_feat_vs_T_run(os.path.join(out_dir, "02_cooling_gray_vs_T_modelcurve.png"),
+                             "Black TLC Cooling Model — gray vs T", gy,
+                             plots.COLOR_COOL, y_cool_full, cool_mean[:, 3])
+    plots.plot_hysteresis(os.path.join(out_dir, "03_hysteresis_gray_vs_T_models.png"),
+                          "Black TLC Hysteresis Model (Heating vs Cooling) — gray vs T",
+                          gy, y_heat_full, heat_mean[:, 3], y_cool_full, cool_mean[:, 3])
+    gp = global_["pred_frames"]
+    nh = len(y_heat_full)
+    plots.plot_true_vs_pred(os.path.join(out_dir, "05_global_true_vs_pred.png"),
+                            "Black TLC Global Model — Measured vs Predicted Temperature",
+                            y_heat_full, gp[:nh], y_cool_full, gp[nh:])
+    plots.plot_feat_vs_T_all(os.path.join(out_dir, "06_global_gray_vs_T_all_modelcurve.png"),
+                             "Black TLC Global Model — gray vs T", gy,
+                             y_heat_full, heat_mean[:, 3], y_cool_full, cool_mean[:, 3])
     return summary

@@ -77,6 +77,9 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
         return {
             "degree": deg,
             "weights": weights,
+            "pred": pred,
+            "uniq_T": uniq,
+            "pred_means": pred_means,
             "metrics_frames": tc.compute_metrics(y, pred),
             "metrics_means": tc.compute_metrics(uniq, pred_means),
         }
@@ -121,4 +124,34 @@ def train(heating_pattern: str, cooling_pattern: str, out_dir: str,
         v["weights"].save_npz(os.path.join(out_dir, stem + ".npz"))
         tc.export_joblib_bundle(os.path.join(out_dir, stem + ".joblib"),
                                 v["weights"], fit_temp_range)
+
+    # diagnostic figures + per-temp error CSV 00-08
+    # (temperature_color_model.py:668-672, 836-935)
+    from vistaf_tpu.trainers import plots
+    Ly = "Mean LAB L in ROI"
+    plots.save_annulus_roi_overlay(os.path.join(out_dir, "00_roi_overlay.png"),
+                                   first, mask, inner_circle, outer_circle)
+    plots.plot_feat_vs_T_run(os.path.join(out_dir, "01_heating_L_vs_T_modelcurve.png"),
+                             "Color TLC Heating Model — LAB L vs T", Ly,
+                             plots.COLOR_HEAT, y_heat_full, heat_feats[:, 0])
+    plots.plot_feat_vs_T_run(os.path.join(out_dir, "02_cooling_L_vs_T_modelcurve.png"),
+                             "Color TLC Cooling Model — LAB L vs T", Ly,
+                             plots.COLOR_COOL, y_cool_full, cool_feats[:, 0])
+    plots.plot_hysteresis(os.path.join(out_dir, "03_hysteresis_L_vs_T_models.png"),
+                          "Color TLC Hysteresis Model (Heating vs Cooling) — "
+                          "LAB L vs Temperature", Ly,
+                          y_heat_full, heat_feats[:, 0], y_cool_full, cool_feats[:, 0])
+    gp = global_["pred"]
+    nh = len(y_heat)
+    plots.plot_true_vs_pred(os.path.join(out_dir, "05_global_true_vs_pred.png"),
+                            "Color TLC Global Model — Measured vs Predicted Temperature",
+                            y_heat, gp[:nh], y_cool, gp[nh:],
+                            global_["uniq_T"], global_["pred_means"])
+    plots.plot_feat_vs_T_all(os.path.join(out_dir, "06_global_L_vs_T_all_trend.png"),
+                             "Color TLC Global Model — LAB L vs T", Ly,
+                             y_heat_full, heat_feats[:, 0], y_cool_full, cool_feats[:, 0])
+    plots.save_per_temp_error_csv(os.path.join(out_dir, "07_global_per_temp_error.csv"),
+                                  y_all, gp, "global")
+    plots.plot_per_temp_mae(os.path.join(out_dir, "08_global_mae_vs_T.png"),
+                            y_all, gp, "Color TLC Global Model — MAE vs Temperature")
     return summary
