@@ -1,0 +1,93 @@
+"""75-sphere statistical regression (``height_to_force.py:360-442``).
+
+Two layers:
+
+1. Fast artifact gates: the committed ``CORPUS_r03_*.json`` runs (produced by
+   ``scripts/run_sphere_corpus.py`` on the real TPU) must satisfy the
+   distribution bounds, so a bad corpus run can never be committed silently.
+2. A live re-run gated behind ``VISTAF_RUN_CORPUS=1`` (75 full-resolution FTP
+   scenes, ~16 min on TPU) asserting the same bounds end-to-end.
+
+Known outliers, pinned deliberately loose (per-row gates use a count bound,
+not a max bound):
+
+- ``sphere-54`` (+24.6%): the reference's own gold row is the outlier — its
+  area 193 mm^2 / V 0.248 sit far below its 25 N level-mates (0.285-0.311
+  cm^3) because the reference's blob filter dropped a contact lobe there;
+  our 0.309 cm^3 is consistent with the level-mates.
+- ``sphere-74`` (-7.6%): borderline light-contact blob at the filter
+  threshold.
+
+The growth-model re-fit from our volumes is compared in *curve space*: the
+(a, b) pair of ``F = a*(exp(b*V)-1)`` is degenerate (a down / b up trade off
+along a flat valley — our refit lands at a=1.385/b=10.28 vs the reference's
+1.6198/9.7566 with *better* RMSE), so parameter-space tolerances would be
+meaningless; predicted force over the calibrated volume range is the
+invariant quantity.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, reference_available
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GOLD_H2F = {"a": 1.61977, "b": 9.75663}  # BASELINE.md growth constants
+
+# (median |dV|%, p90 |dV|%, max rows over 5%, refit curve max rel err)
+GATES = {
+    "parity": (0.5, 4.0, 5, 0.12),
+    "deploy": (3.0, 6.0, 6, 0.15),
+}
+
+
+def _assert_corpus_summary(d, mode):
+    med_max, p90_max, n5_max, curve_tol = GATES[mode]
+    dv = np.array([abs(r["dvol_pct"]) for r in d["rows"]])
+    assert d["n"] == 75
+    assert float(np.median(dv)) < med_max
+    assert float(np.percentile(dv, 90)) < p90_max
+    assert int((dv > 5.0).sum()) <= n5_max
+    # re-fit must pick the growth family and match the gold curve shape
+    rb = d["refit_best"]
+    assert rb["type"] == "growth"
+    assert rb["rmse"] <= 6.962 * 1.05  # never worse than the reference fit
+    V = np.linspace(0.04, 0.25, 64)
+    ours = rb["params"]["a"] * (np.exp(rb["params"]["b"] * V) - 1.0)
+    gold = GOLD_H2F["a"] * (np.exp(GOLD_H2F["b"] * V) - 1.0)
+    assert float(np.max(np.abs(ours - gold) / gold)) < curve_tol
+
+
+@pytest.mark.parametrize("mode", ["parity", "deploy"])
+def test_committed_corpus_artifact_gates(mode):
+    path = os.path.join(REPO, f"CORPUS_r03_{mode}.json")
+    if not os.path.exists(path):
+        pytest.skip("corpus artifact not present")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["mode"] == mode
+    _assert_corpus_summary(d, mode)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("VISTAF_RUN_CORPUS") != "1",
+                    reason="75-scene corpus run (set VISTAF_RUN_CORPUS=1)")
+@pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
+def test_live_corpus_distribution(tmp_path):
+    """Re-run the full corpus on the machine's default platform (TPU when
+    available) and assert the parity-mode distribution gates."""
+    out = tmp_path / "corpus.json"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_sphere_corpus.py"),
+         "parity", str(out)],
+        check=True, cwd=REPO, env=env, timeout=3600)
+    with open(out) as f:
+        d = json.load(f)
+    _assert_corpus_summary(d, "parity")
