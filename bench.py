@@ -41,7 +41,7 @@ def small_inputs():
     return cfg, ref, de
 
 
-def measure_tpu(cfg, ref, de, iters=30):
+def measure_tpu(cfg, ref, de, iters=30, rounds=5):
     import jax
     import jax.numpy as jnp
     from vistaf_tpu.calib import scalar_models
@@ -85,7 +85,7 @@ def measure_tpu(cfg, ref, de, iters=30):
     rtt = float(np.median(rtts))
 
     per_exec = []
-    for _round in range(5):
+    for _round in range(rounds):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):

@@ -1,10 +1,23 @@
-"""Fused Pallas masked-quantile kernel vs the XLA histogram reference
-(interpret mode on CPU; the real-TPU path is exercised by the bench)."""
+"""Fused Pallas masked-quantile kernel vs the XLA histogram reference.
+
+Numerics run here in interpret mode on CPU.  The real-chip existence proof
+is ``test_real_tpu_smoke`` (subprocess without the CPU-platform forcing,
+gated on VISTAF_RUN_TPU=1); its measured outcome is recorded in
+``FTPConfig.deploy``: p50 3.94 -> 3.26 ms at bench scale, which is why
+``hist_pallas`` is the deploy default.  Arrays beyond the ~12.5 MB VMEM
+residency budget fall back to the XLA ladder (``test_vmem_fallback``).
+"""
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vistaf_tpu.ops.percentile import masked_percentile_hist
-from vistaf_tpu.pallas.quantile_kernel import (masked_median_mad_pallas,
+from vistaf_tpu.pallas.quantile_kernel import (_fits_vmem,
+                                               masked_median_mad_pallas,
                                                masked_quantiles_pallas)
 
 
@@ -30,3 +43,53 @@ def test_median_mad_match(rng):
     rng_span = np.ptp(x[m])
     assert abs(float(med) - gmed) < 2e-3 * rng_span
     assert abs(float(mad) - gmad) < 4e-3 * rng_span
+
+
+def test_vmem_fallback(rng):
+    """Above the VMEM budget the entry points must route to the XLA ladder
+    (same numerics) instead of attempting an un-lowerable pallas_call."""
+    big = (1747, 1747)   # native-4K FTP crop scale; 24 MB combined
+    assert not _fits_vmem(np.empty(big, np.float32))
+    assert _fits_vmem(np.empty((1280, 1280), np.float32))
+    x = jnp.asarray(rng.normal(size=big).astype(np.float32))
+    m = jnp.asarray(rng.random(big) > 0.3)
+    from vistaf_tpu.ops.percentile import masked_percentile_hist_multi
+    q = masked_quantiles_pallas(x, m, (25.0, 92.0))
+    gold = masked_percentile_hist_multi(x, m, (25.0, 92.0))
+    np.testing.assert_allclose(np.asarray(q), np.asarray(gold), atol=1e-7)
+    med, mad = masked_median_mad_pallas(x, m)   # default refine=1
+    gmed = float(masked_percentile_hist(x, m, 50.0, refine=1))
+    assert abs(float(med) - gmed) < 1e-6
+    assert float(mad) > 0
+
+
+_TPU_SMOKE = r"""
+import numpy as np, jax, jax.numpy as jnp
+assert jax.devices()[0].platform == "tpu", jax.devices()[0].platform
+from vistaf_tpu.pallas.quantile_kernel import (masked_median_mad_pallas,
+                                               masked_quantiles_pallas)
+from vistaf_tpu.ops.percentile import masked_percentile_hist
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.normal(size=(480, 640)).astype(np.float32))
+m = jnp.asarray(rng.random((480, 640)) > 0.3)
+q = masked_quantiles_pallas(x, m, (25.0, 50.0, 92.0))
+for i, qq in enumerate((25.0, 50.0, 92.0)):
+    gold = float(masked_percentile_hist(x, m, qq))
+    assert abs(float(q[i]) - gold) < 1e-5, (qq, float(q[i]), gold)
+med, mad = masked_median_mad_pallas(x, m)
+assert np.isfinite(float(med)) and float(mad) > 0
+print("TPU_PALLAS_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("VISTAF_RUN_TPU") != "1",
+                    reason="real-TPU smoke (set VISTAF_RUN_TPU=1)")
+def test_real_tpu_smoke():
+    """Compile + run the fused kernels on the real chip (the test session
+    itself forces the CPU platform, so this spawns a clean process)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run([sys.executable, "-c", _TPU_SMOKE],
+                         env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "TPU_PALLAS_OK" in out.stdout

