@@ -57,7 +57,10 @@ def test_black_trainer_reproduces_reference_metrics(tmp_path):
         g = gold[name]
         assert o["degree"] == g["degree"], name
         assert abs(o["metrics_frames"]["rmse_C"] - g["metrics_frames"]["rmse_C"]) < 0.15, name
-        assert o["metrics_means"]["rmse_C"] < g["metrics_means"]["rmse_C"] + 0.15, name
+        # two-sided: a suspiciously *low* means-RMSE would flag degree-selection
+        # drift / overfit just as much as a high one (validated run: heating
+        # 3.065 vs 3.064, cooling 2.776 vs 2.780, global 1.870 vs 1.927)
+        assert abs(o["metrics_means"]["rmse_C"] - g["metrics_means"]["rmse_C"]) < 0.15, name
 
 
 def test_p2h_trainer_reproduces_reference_constants(tmp_path):

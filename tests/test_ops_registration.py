@@ -101,3 +101,41 @@ def test_ecc_align_shear_sampler_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(ws), np.asarray(wg), atol=0.02)
     np.testing.assert_allclose(np.asarray(ws), true_M, atol=0.03)
     assert float(rho_s) > 0.99
+
+
+def test_ecc_stall_patience_preserves_convergent_result(rng):
+    """The divergence early-out must be a no-op whenever the GN loop
+    converges normally (it only fires in the oscillating regime)."""
+    ref = _textured(rng, 120, 120)
+    th = 0.015
+    true_M = np.array([[np.cos(th), -np.sin(th), 1.0],
+                       [np.sin(th), np.cos(th), -1.5]], np.float32)
+    mov = cv2.warpAffine(ref, true_M, (120, 120),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_REFLECT)
+    mask = np.ones((120, 120), dtype=bool)
+    args = (jnp.asarray(mov), jnp.asarray(ref), jnp.asarray(mask))
+    w0, rho0, it0 = registration.ecc_align(*args, mode="euclidean",
+                                           max_iters=200, eps=1e-7)
+    w1, rho1, it1 = registration.ecc_align(*args, mode="euclidean",
+                                           max_iters=200, eps=1e-7,
+                                           stall_patience=25)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-6)
+    assert abs(float(rho0) - float(rho1)) < 1e-6
+    assert int(it1) <= int(it0)
+
+
+def test_ecc_stall_patience_bounds_nonconvergent_iters(rng):
+    """Pure-noise template/image: rho wanders without converging; the
+    patience rule must bound the iteration count well below max_iters while
+    returning the best-rho iterate."""
+    a = rng.normal(size=(96, 96)).astype(np.float32)
+    b = rng.normal(size=(96, 96)).astype(np.float32)
+    mask = np.ones((96, 96), dtype=bool)
+    w, rho, it = registration.ecc_align(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask),
+        mode="euclidean", max_iters=300, eps=0.0, stall_patience=20)
+    # eps=0 disables the convergence stop entirely, so only failure or the
+    # patience rule can end the loop early
+    assert int(it) < 300
+    assert np.all(np.isfinite(np.asarray(w))) or np.isnan(float(rho))

@@ -135,6 +135,14 @@ class FTPConfig:
     # warps within +-(ecc_shear_k-1) px after global-shift removal)
     ecc_sampler: str = "gather"
     ecc_shear_k: int = 4
+    # divergence early-out: stop the GN loop after this many iterations
+    # without a rho improvement (0 = disabled, cv2-faithful).  Measured on
+    # TPU at 4K (r3): the known ECC-failure scene (ROUND_METAL) already
+    # exits via the StsNoConv fast path, so patience=25 moves neither
+    # latency nor force on any demo scene (parity 1712 vs 1713 ms, deploy
+    # 152.5 vs 152.8 ms, forces identical) — it is a worst-case latency
+    # bound for the true oscillating regime, enabled in deploy.
+    ecc_stall_patience: int = 0
     global_shift_blur_sigma: float = 7.0
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96
@@ -217,7 +225,7 @@ class FTPConfig:
         shear_k = max(4, round(12 * self.image_height / 2160))
         return self.replace(percentile_method="hist_pallas", ecc_stride=2,
                             largest_cc_method="seed_edt", ecc_sampler="shear",
-                            ecc_shear_k=shear_k,
+                            ecc_shear_k=shear_k, ecc_stall_patience=25,
                             polyfit_resigma_iters=2, unwrap_cg_iters=16,
                             polyfit_iters=4, detrend_fold_plane=True,
                             dc_remove_stat="mean",

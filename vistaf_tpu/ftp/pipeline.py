@@ -230,13 +230,14 @@ class FTPPipeline:
         gf = float(cfg.grating_prealign_ecc_gauss_filt)
         if gf > 0:
             hp_pair = jax.vmap(lambda g: gaussian_blur(g, gf))(hp_pair)
-        warp_g, _rho_g, _it_g = ecc_align(
+        warp_g, _rho_g, _it_g = ecc_align(  # prealign shares the early-out knob
             hp_pair[0], hp_pair[1], align_mask,
             mode=cfg.grating_prealign_ecc_mode,
             max_iters=cfg.grating_prealign_ecc_iters,
             eps=cfg.grating_prealign_ecc_eps,
             stride=cfg.ecc_stride, sampler=cfg.ecc_sampler,
-            shear_k=cfg.ecc_shear_k)
+            shear_k=cfg.ecc_shear_k,
+            stall_patience=cfg.ecc_stall_patience)
         identity = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
         warp_g = jnp.where(jnp.any(align_mask), warp_g, identity)
         if cfg.ecc_sampler == "shear":
@@ -273,6 +274,7 @@ class FTPPipeline:
         # --- ECC crop alignment (shape_ftp.py:1530-1537)
         ecc_warp = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
         ecc_rho = jnp.float32(jnp.nan)
+        ecc_it = jnp.int32(0)
         if cfg.use_ecc_crop_alignment:
             crop01 = jnp.stack([ref_gray, def_gray]) / 255.0
             if cfg.ecc_gauss_filt and cfg.ecc_gauss_filt > 0:
@@ -283,9 +285,11 @@ class FTPPipeline:
                                         max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
                                         stride=cfg.ecc_stride,
                                         sampler=cfg.ecc_sampler,
-                                        shear_k=cfg.ecc_shear_k)
+                                        shear_k=cfg.ecc_shear_k,
+                                        stall_patience=cfg.ecc_stall_patience)
             ecc_warp = warp
             ecc_rho = _rho
+            ecc_it = _it
             if cfg.ecc_sampler == "shear":
                 # same small-warp regime as the GN loop: gather-free
                 def_gray = warp_affine_inverse_shear(def_gray, warp,
@@ -517,6 +521,7 @@ class FTPPipeline:
                 # fetches hit backend UNIMPLEMENTED on tunneled platforms
                 "dbg_ecc_warp": ecc_warp,
                 "dbg_ecc_rho": ecc_rho,
+                "dbg_ecc_iters": ecc_it,
                 "dbg_phase_ref": jnp.angle(dref.complex_demod).astype(jnp.float32),
                 "dbg_phase_def": jnp.angle(ddef.complex_demod).astype(jnp.float32),
                 "dbg_i_norm_ref": dref.i_norm,

@@ -106,11 +106,13 @@ def _steepest_descent(mode: str, p: jnp.ndarray, xx, yy, gxw, gyw):
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "max_iters", "stride",
-                                             "sampler", "shear_k"))
+                                             "sampler", "shear_k",
+                                             "stall_patience"))
 def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
               mask: jnp.ndarray, mode: str = "euclidean",
               max_iters: int = 300, eps: float = 1e-7, stride: int = 1,
-              sampler: str = "gather", shear_k: int = 4):
+              sampler: str = "gather", shear_k: int = 4,
+              stall_patience: int = 0):
     """Find warp p maximizing the enhanced correlation coefficient between
     ``template`` and ``image`` sampled at W(x; p).
 
@@ -127,6 +129,14 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     on TPU) with the gather-free two-pass shear warp (valid for residual
     warps within ±(shear_k-1) px — the post-global-shift regime); 'gather'
     is the reference-faithful default.
+
+    ``stall_patience`` > 0 adds a divergence early-out: stop once rho has
+    not improved on its running best for that many consecutive iterations.
+    cv2 has no such rule (it burns the full ``max_iters`` budget in the
+    oscillating non-convergent regime — the ROUND_METAL demo scene), so 0
+    (disabled) is the reference-faithful default; the deploy preset enables
+    it.  On a stall-stop the returned warp is the best-rho iterate, which
+    dominates the arbitrary 300th-iterate cv2 would return.
     """
     n_params = _MODES[mode]
     h, w = template.shape
@@ -184,7 +194,7 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
                 (samp[..., 3] > 0.95).astype(jnp.float32))
 
     def body(state):
-        p, last_rho, rho, it, failed = state
+        p, last_rho, rho, it, failed, best_rho, best_p, stall = state
         iw, gxw, gyw, mf = _sample(p)
 
         gxm = gxw * mf
@@ -228,14 +238,30 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
         # back to the unaligned image (shape_ftp.py:576-578).  Mirror it.
         now_failed = (lam_den <= 0.0) | jnp.isnan(new_rho)
         p_new = jnp.where(now_failed, p, p_new)
-        return p_new, rho, new_rho, it + 1, failed | now_failed
+        # new_rho measures the CURRENT iterate p (the statistics above were
+        # sampled at p), so the best-rho iterate to remember is p
+        improved = new_rho > best_rho
+        best_rho = jnp.where(improved, new_rho, best_rho)
+        best_p = jnp.where(improved, p, best_p)
+        stall = jnp.where(improved, jnp.int32(0), stall + 1)
+        return (p_new, rho, new_rho, it + 1, failed | now_failed,
+                best_rho, best_p, stall)
 
     def cond(state):
-        p, last_rho, rho, it, failed = state
-        return (it < max_iters) & (jnp.abs(rho - last_rho) >= eps) & ~failed
+        p, last_rho, rho, it, failed, best_rho, best_p, stall = state
+        go = (it < max_iters) & (jnp.abs(rho - last_rho) >= eps) & ~failed
+        if stall_patience > 0:
+            go = go & (stall < stall_patience)
+        return go
 
-    state = (p0, jnp.float32(-2.0), jnp.float32(-1.0), jnp.int32(0), jnp.bool_(False))
-    p, _, rho, it, failed = jax.lax.while_loop(cond, body, state)
+    state = (p0, jnp.float32(-2.0), jnp.float32(-1.0), jnp.int32(0),
+             jnp.bool_(False), jnp.float32(-2.0), p0, jnp.int32(0))
+    p, _, rho, it, failed, best_rho, best_p, stall = jax.lax.while_loop(
+        cond, body, state)
+    if stall_patience > 0:
+        stalled = stall >= stall_patience
+        p = jnp.where(stalled, best_p, p)
+        rho = jnp.where(stalled, best_rho, rho)
     identity = _warp_matrix(mode, jnp.zeros_like(p))
     warp = jnp.where(failed, identity, _warp_matrix(mode, p))
     rho = jnp.where(failed, jnp.nan, rho)
