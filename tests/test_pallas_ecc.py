@@ -1,0 +1,105 @@
+"""Fused ECC GN-moment kernel vs the XLA shear-warp + matmul formulation.
+
+Numerics run in interpret mode on CPU; agreement is f32 accumulation-order
+level (the kernel sums planes on the VPU, the XLA path uses a HIGHEST-
+precision matmul).  The real-chip existence proof is ``test_real_tpu_smoke``
+(VISTAF_RUN_TPU=1).  Reference semantics: ``ops.registration.ecc_align``
+(cv2 findTransformECC, shape_ftp.py:549-578) with the deploy shear sampler.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vistaf_tpu.ops.warp import shear_warp_stack
+from vistaf_tpu.pallas.ecc_kernel import fits_vmem, gn_moments_euclidean
+
+
+def _xla_moments(S_cf, T, smask, p, K):
+    c, s = jnp.cos(p[0]), jnp.sin(p[0])
+    Mw = jnp.array([[c, -s, p[1]], [s, c, p[2]]], jnp.float32)
+    samp = shear_warp_stack(S_cf, Mw, K=K)
+    mf = (samp[3] > 0.95).astype(jnp.float32) * smask
+    gxm = samp[1] * mf
+    gym = samp[2] * mf
+    h, w = T.shape
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    G0 = gxm * (-s * uu - c * vv) + gym * (c * uu - s * vv)
+    A = jnp.stack([mf.ravel(), (T * mf).ravel(), (samp[0] * mf).ravel(),
+                   G0.ravel(), gxm.ravel(), gym.ravel()], 0)
+    return np.asarray(jax.lax.dot_general(
+        A, A, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST))
+
+
+def _coeffs(p):
+    c, s = jnp.cos(p[0]), jnp.sin(p[0])
+    a00, a01, a02 = c, -s, p[1]
+    a10, a11, a12 = s, c, p[2]
+    r = a10 / a00
+    return jnp.stack([r, a11 - r * a01 - 1.0, a12 - r * a02,
+                      a00 - 1.0, a01, a02, c, s])
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_interpret_matches_xla(stride):
+    rng = np.random.default_rng(11)
+    h, w = 100, 150
+    I = rng.random((h, w)).astype(np.float32)
+    gx = np.zeros_like(I); gx[:, 1:-1] = 0.5 * (I[:, 2:] - I[:, :-2])
+    gy = np.zeros_like(I); gy[1:-1, :] = 0.5 * (I[2:, :] - I[:-2, :])
+    M01 = (rng.random((h, w)) > 0.2).astype(np.float32)
+    T = (rng.random((h, w)) - 0.5).astype(np.float32)
+    S_cf = jnp.stack([jnp.asarray(I), jnp.asarray(gx), jnp.asarray(gy),
+                      jnp.asarray(M01)], 0)
+    smask = np.zeros((h, w), np.float32)
+    smask[::stride, ::stride] = 1.0
+    p = jnp.asarray([0.003, 0.4, -0.7], jnp.float32)
+
+    gold = _xla_moments(S_cf, jnp.asarray(T), jnp.asarray(smask), p, K=4)
+    ours = np.asarray(gn_moments_euclidean(S_cf, jnp.asarray(T),
+                                           jnp.asarray(smask), _coeffs(p),
+                                           K=4, interpret=True))
+    rel = np.abs(ours - gold) / np.maximum(np.abs(gold), 1e-3)
+    assert rel.max() < 1e-4, rel.max()
+
+
+def test_vmem_budget_gate():
+    assert fits_vmem((236, 236))
+    assert not fits_vmem((1747, 1747))   # native-4K crop -> XLA body
+
+
+_TPU_SMOKE = r"""
+import numpy as np, jax, jax.numpy as jnp
+assert jax.devices()[0].platform == "tpu", jax.devices()[0].platform
+from vistaf_tpu.ops.registration import ecc_align
+rng = np.random.default_rng(3)
+base = rng.random((200, 260)).astype(np.float32)
+from vistaf_tpu.ops.filters import gaussian_blur
+t = np.asarray(gaussian_blur(jnp.asarray(base), 3.0))
+# shift the image by ~1px so ECC has something to find
+img = np.roll(t, 1, axis=1)
+mask = np.ones((200, 260), bool)
+warp, rho, it = ecc_align(jnp.asarray(t), jnp.asarray(img), jnp.asarray(mask),
+                          mode="euclidean", max_iters=60, sampler="shear",
+                          shear_k=4)
+warp = np.asarray(warp); rho_f = float(rho)
+assert rho_f > 0.95, rho_f
+assert abs(abs(warp[0, 2]) - 1.0) < 0.35, warp
+print("TPU_ECC_OK", rho_f)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("VISTAF_RUN_TPU") != "1",
+                    reason="real-TPU smoke (set VISTAF_RUN_TPU=1)")
+def test_real_tpu_smoke():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run([sys.executable, "-c", _TPU_SMOKE],
+                         env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "TPU_ECC_OK" in out.stdout

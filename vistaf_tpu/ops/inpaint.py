@@ -31,7 +31,24 @@ def inpaint_diffusion(img: jnp.ndarray, fill_mask: jnp.ndarray,
 
     Known pixels are hard-clamped every iteration; unknown pixels relax to
     the masked neighborhood average.
+
+    On TPU, crops that fit the VMEM working-set budget take the fused
+    Pallas kernel (identical stencil/ordering — one launch instead of
+    ``iters`` launch-bound relaxation rounds); larger arrays and other
+    backends run the XLA loop below.
     """
+    if img.ndim == 2 and jax.default_backend() == "tpu":
+        from vistaf_tpu.pallas.inpaint_kernel import (fits_vmem,
+                                                      inpaint_diffusion_pallas)
+        if fits_vmem(img.shape):
+            return inpaint_diffusion_pallas(img, fill_mask, iters=iters)
+    return inpaint_diffusion_xla(img, fill_mask, iters=iters)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def inpaint_diffusion_xla(img: jnp.ndarray, fill_mask: jnp.ndarray,
+                          iters: int = 96) -> jnp.ndarray:
+    """The plain XLA relaxation loop (any backend, any size)."""
     x = img.astype(jnp.float32)
     known = ~fill_mask
     kf = known.astype(jnp.float32)

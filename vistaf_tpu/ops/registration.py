@@ -36,26 +36,35 @@ def phase_correlate(src1: jnp.ndarray, src2: jnp.ndarray,
     a = src1.astype(jnp.float32) * window
     b = src2.astype(jnp.float32) * window
 
-    Fa = jnp.fft.fft2(a)
-    Fb = jnp.fft.fft2(b)
-    P = Fa * jnp.conj(Fb)
+    # real-input transforms: the cross-power spectrum of two real images is
+    # Hermitian, and |P| is symmetric, so the normalized spectrum stays
+    # Hermitian and irfft2 reconstructs exactly real(ifft2(P_full)) at half
+    # the FFT work (cv2.phaseCorrelate also runs real DFTs).  Both forward
+    # transforms run as ONE batched rfft2 (the graph is launch-bound).
+    F = jnp.fft.rfft2(jnp.stack([a, b]), axes=(-2, -1))
+    P = F[0] * jnp.conj(F[1])
     P = P / jnp.maximum(jnp.abs(P), 1e-20)
-    C = jnp.real(jnp.fft.ifft2(P))
+    C = jnp.fft.irfft2(P, s=(h, w))
     C = jnp.fft.fftshift(C)
 
     peak = jnp.argmax(C)
     py = (peak // w).astype(jnp.int32)
     px = (peak % w).astype(jnp.int32)
 
-    # 5x5 weighted centroid around the peak (cv2 weightedCentroid)
-    offs = jnp.arange(-2, 3)
-    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-    ys = jnp.clip(py + oy, 0, h - 1)
-    xs = jnp.clip(px + ox, 0, w - 1)
-    vals = C[ys, xs]
+    # 5x5 weighted centroid around the peak (cv2 weightedCentroid), gather-
+    # free: TPU pays per gathered index, so sum over an iota-masked window
+    # instead.  Identical to the clipped-index gather except when the peak
+    # sits within 2 px of the border (there cv2's clipping double-counts
+    # edge pixels; the window truncation here is the saner estimate, and the
+    # windowed correlation surface never peaks at the border).
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inwin = ((jnp.abs(yy - py) <= 2) & (jnp.abs(xx - px) <= 2)).astype(jnp.float32)
+    vals = C * inwin
     s = jnp.sum(vals)
-    cy = jnp.sum(ys * vals) / jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
-    cx = jnp.sum(xs * vals) / jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
+    den = jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
+    cy = jnp.sum(yy.astype(jnp.float32) * vals) / den
+    cx = jnp.sum(xx.astype(jnp.float32) * vals) / den
 
     center_x = w / 2.0
     center_y = h / 2.0
@@ -193,10 +202,29 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
         return (samp[..., 0], samp[..., 1], samp[..., 2],
                 (samp[..., 3] > 0.95).astype(jnp.float32))
 
-    def body(state):
-        p, last_rho, rho, it, failed, best_rho, best_p, stall = state
-        iw, gxw, gyw, mf = _sample(p)
+    # euclidean/shear iterations fuse the warp + steepest-descent + moment
+    # statistics into one Pallas launch (the while_loop is otherwise
+    # launch-bound at ~8 kernels/iteration); identical tap weights and
+    # moment entries, f32 accumulation either way.
+    from vistaf_tpu.pallas.ecc_kernel import fits_vmem, gn_moments_euclidean
+    fused = (sampler == "shear" and mode == "euclidean"
+             and jax.default_backend() == "tpu" and fits_vmem(template.shape))
+    if fused:
+        smask = (stride_mask if stride_mask is not None
+                 else jnp.ones((h, w), jnp.float32))
 
+    def _moments(p):
+        if fused:
+            c, s_ = jnp.cos(p[0]), jnp.sin(p[0])
+            # shear decomposition of the euclidean warp matrix
+            # [[c, -s, tx], [s, c, ty]] (see ops.warp.shear_warp_stack)
+            a00, a01, a02 = c, -s_, p[1]
+            a10, a11, a12 = s_, c, p[2]
+            r = a10 / a00
+            coeffs = jnp.stack([r, a11 - r * a01 - 1.0, a12 - r * a02,
+                                a00 - 1.0, a01, a02, c, s_])
+            return gn_moments_euclidean(S_cf, T, smask, coeffs, K=shear_k)
+        iw, gxw, gyw, mf = _sample(p)
         gxm = gxw * mf
         gym = gyw * mf
         G = _steepest_descent(mode, p, xx, yy, gxm, gym)
@@ -208,8 +236,12 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
         # Rows-first keeps N in the tiled lane dimension.
         A = jnp.stack([mf.ravel(), tcol * mf.ravel(), (iw * mf).ravel()]
                       + [g.ravel() for g in G], axis=0)  # (3+P, N)
-        Mom = jax.lax.dot_general(A, A, (((1,), (1,)), ((), ())),
-                                  precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot_general(A, A, (((1,), (1,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def body(state):
+        p, last_rho, rho, it, failed, best_rho, best_p, stall = state
+        Mom = _moments(p)
 
         n = jnp.maximum(Mom[0, 0], 1.0)
         st, si = Mom[0, 1], Mom[0, 2]

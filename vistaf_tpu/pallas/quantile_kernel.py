@@ -24,7 +24,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(qs, bins, refine, x_ref, m_ref, out_ref):
+def _bisect_levels(bins: int, refine: int) -> int:
+    """Bisection depth with a bracket at least as tight as the (bins,
+    1+refine)-level histogram ladder, plus 2 levels of margin."""
+    return int(np.ceil((1 + refine) * np.log2(bins))) + 2
+
+
+def _kernel(qs, levels, x_ref, m_ref, out_ref):
     x = x_ref[:]                     # (R, 128) f32, padded tail masked out
     m = m_ref[:]                     # (R, 128) f32 0/1
     big = jnp.float32(3e38)
@@ -40,23 +46,20 @@ def _kernel(qs, bins, refine, x_ref, m_ref, out_ref):
 
     for qi, q in enumerate(qs):
         target = jnp.float32(q / 100.0) * jnp.maximum(n - 1.0, 0.0)
-        lo, hi = lo0, hi0
-        for _ in range(1 + refine):
-            span = jnp.maximum(hi - lo, 1e-30)
-            scale = jnp.float32(bins) / span
 
-            def bin_body(b, carry):
-                lo_, span_, bin_i = carry
-                e = lo_ + span_ * (b + 1).astype(jnp.float32) / bins
-                cnt = jnp.sum(jnp.where((x <= e) & (m > 0), 1.0, 0.0))
-                return lo_, span_, bin_i + (cnt <= target).astype(jnp.int32)
+        # Bracket refinement as pure bisection (the histogram ladder with
+        # bins=2): one count pass per level instead of ``bins`` passes, so
+        # matching the XLA ladder's bins^(1+refine) bracket takes
+        # log2(bins)*(1+refine) passes — ~17x less VPU work than replaying
+        # the wide ladder with the data already VMEM-resident.
+        def level_body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(jnp.where((x <= mid) & (m > 0), 1.0, 0.0))
+            go_hi = cnt <= target
+            return jnp.where(go_hi, mid, lo), jnp.where(go_hi, hi, mid)
 
-            _, _, bin_i = jax.lax.fori_loop(
-                0, bins, bin_body, (lo, span, jnp.int32(0)))
-            bin_i = jnp.clip(bin_i, 0, bins - 1)
-            new_lo = lo + span * bin_i.astype(jnp.float32) / bins
-            hi = lo + span * (bin_i + 1).astype(jnp.float32) / bins
-            lo = new_lo
+        lo, hi = jax.lax.fori_loop(0, levels, level_body, (lo0, hi0))
         v = 0.5 * (lo + hi)
         acc = jnp.where(lane == qi, jnp.where(n > 0, v, 0.0), acc)
     out_ref[:] = acc
@@ -89,10 +92,14 @@ def masked_quantiles_pallas(arr: jnp.ndarray, mask: jnp.ndarray, qs: tuple,
                             bins: int = 128, refine: int = 2,
                             interpret: bool = False) -> jnp.ndarray:
     """Masked bracket-refinement quantiles of ``arr`` over ``mask`` in one
-    fused kernel.  Returns a (len(qs),) float32 vector; numerics match
-    ``masked_percentile_hist`` (same ladder, same bin-midpoint estimate).
-    Arrays too large for VMEM residency — or non-TPU backends, where the
-    Mosaic kernel cannot lower — take the XLA ladder instead."""
+    fused kernel.  Returns a (len(qs),) float32 vector.
+
+    In-kernel the bracket refinement runs as bisection to a bracket at
+    least as tight as the (bins, refine) histogram ladder (same invariant,
+    same bin-midpoint estimate — agreement within the bracket width, i.e.
+    ~range/bins^(1+refine)).  Arrays too large for VMEM residency — or
+    non-TPU backends, where the Mosaic kernel cannot lower — take the XLA
+    (bins, refine) ladder instead, which is launch-optimal there."""
     if not _fits_vmem(arr) or (not interpret and jax.default_backend() != "tpu"):
         from vistaf_tpu.ops.percentile import masked_percentile_hist_multi
         return masked_percentile_hist_multi(arr, mask, qs, bins=bins,
@@ -106,7 +113,7 @@ def masked_quantiles_pallas(arr: jnp.ndarray, mask: jnp.ndarray, qs: tuple,
     m2, _ = _pad_to_rows(m)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, qs, bins, refine),
+        functools.partial(_kernel, qs, _bisect_levels(bins, refine)),
         out_shape=jax.ShapeDtypeStruct((1, len(qs)), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -139,6 +146,8 @@ def masked_median_mad_pallas(arr: jnp.ndarray, mask: jnp.ndarray,
     x2, _ = _pad_to_rows(x)
     m2, _ = _pad_to_rows(m)
 
+    levels = _bisect_levels(bins, refine)
+
     def kern(x_ref, m_ref, out_ref):
         x = x_ref[:]
         m = m_ref[:]
@@ -147,22 +156,16 @@ def masked_median_mad_pallas(arr: jnp.ndarray, mask: jnp.ndarray,
         target = jnp.float32(0.5) * jnp.maximum(n - 1.0, 0.0)
 
         def refine_quantile(vals, lo, hi):
-            l, h = lo, hi
-            for _ in range(1 + refine):
-                span = jnp.maximum(h - l, 1e-30)
+            # bisection to the (bins, refine)-ladder bracket width — see
+            # ``_kernel``
+            def level_body(_, carry):
+                l, h = carry
+                mid = 0.5 * (l + h)
+                cnt = jnp.sum(jnp.where((vals <= mid) & (m > 0), 1.0, 0.0))
+                go_hi = cnt <= target
+                return jnp.where(go_hi, mid, l), jnp.where(go_hi, h, mid)
 
-                def bin_body(b, carry):
-                    l_, span_, bin_i = carry
-                    e = l_ + span_ * (b + 1).astype(jnp.float32) / bins
-                    cnt = jnp.sum(jnp.where((vals <= e) & (m > 0), 1.0, 0.0))
-                    return l_, span_, bin_i + (cnt <= target).astype(jnp.int32)
-
-                _, _, bin_i = jax.lax.fori_loop(
-                    0, bins, bin_body, (l, span, jnp.int32(0)))
-                bin_i = jnp.clip(bin_i, 0, bins - 1)
-                nl = l + span * bin_i.astype(jnp.float32) / bins
-                h = l + span * (bin_i + 1).astype(jnp.float32) / bins
-                l = nl
+            l, h = jax.lax.fori_loop(0, levels, level_body, (lo, hi))
             return 0.5 * (l + h)
 
         lo0 = jnp.min(jnp.where(m > 0, x, big))
