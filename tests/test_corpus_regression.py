@@ -94,21 +94,26 @@ def test_live_corpus_distribution(tmp_path):
 
 
 def test_committed_goldens_artifact_gates():
-    """GOLDENS_r{N}.json (scripts/run_goldens_suite.py on TPU) must show all
-    5 force goldens within +-0.5% and temperature means within 0.1 degC."""
+    """GOLDENS_r{N}*.json (scripts/run_goldens_suite.py on TPU) must show all
+    5 force goldens within +-0.5% (parity) / +-0.8% (deploy preset, per the
+    documented deploy-accuracy contract) and temperature means within
+    0.1 degC.  Every committed artifact is gated, newest round last."""
     import glob
     paths = sorted(glob.glob(os.path.join(REPO, "GOLDENS_r*.json")))
     if not paths:
         pytest.skip("goldens artifact not present")
-    with open(paths[-1]) as f:
-        d = json.load(f)
-    assert len(d["force"]) == 5
-    for scene, r in d["force"].items():
-        assert abs(r["dforce_pct"]) < 0.5, (scene, r["dforce_pct"])
-    assert len(d["temperature"]) == 5
-    for scene, r in d["temperature"].items():
-        assert abs(r["dmean_C"]) < 0.1, (scene, r["dmean_C"])
-        assert abs(r["dmax_C"]) < 0.5, (scene, r["dmax_C"])
-        # segmentation parity: valid-pixel count within 0.5%
-        assert abs(r["valid_pixels"] - r["gold_valid_pixels"]) <= \
-            0.005 * r["gold_valid_pixels"], scene
+    force_gate = {"parity": 0.5, "deploy": 0.8}
+    for path in paths:
+        with open(path) as f:
+            d = json.load(f)
+        gate = force_gate[d.get("mode", "parity")]
+        assert len(d["force"]) == 5, path
+        for scene, r in d["force"].items():
+            assert abs(r["dforce_pct"]) < gate, (path, scene, r["dforce_pct"])
+        assert len(d["temperature"]) == 5, path
+        for scene, r in d["temperature"].items():
+            assert abs(r["dmean_C"]) < 0.1, (path, scene, r["dmean_C"])
+            assert abs(r["dmax_C"]) < 0.5, (path, scene, r["dmax_C"])
+            # segmentation parity: valid-pixel count within 0.5%
+            assert abs(r["valid_pixels"] - r["gold_valid_pixels"]) <= \
+                0.005 * r["gold_valid_pixels"], (path, scene)

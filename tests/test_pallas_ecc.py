@@ -73,6 +73,26 @@ def test_vmem_budget_gate():
     assert not fits_vmem((1747, 1747))   # native-4K crop -> XLA body
 
 
+def test_vmap_batches(rng=None):
+    """The 4-stream batched pipeline vmaps ecc_align over streams, which
+    vmaps this pallas_call — every operand must live in a batchable memory
+    space (SMEM operands break; regression for the streams-bench failure)."""
+    rng = np.random.default_rng(5)
+    h, w = 48, 130
+    S = jnp.asarray(rng.random((3, 4, h, w)).astype(np.float32))
+    T = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    sm = jnp.ones((3, h, w), jnp.float32)
+    p = jnp.asarray([0.002, 0.3, -0.2], jnp.float32)
+    co = jnp.broadcast_to(_coeffs(p), (3, 8))
+    f = jax.vmap(lambda s, t, m, c: gn_moments_euclidean(
+        s, t, m, c, K=4, interpret=True))
+    out = np.asarray(f(S, T, sm, co))
+    assert out.shape == (3, 6, 6)
+    gold = np.asarray(gn_moments_euclidean(S[1], T[1], sm[1], co[1], K=4,
+                                           interpret=True))
+    np.testing.assert_allclose(out[1], gold, rtol=1e-5, atol=1e-3)
+
+
 _TPU_SMOKE = r"""
 import numpy as np, jax, jax.numpy as jnp
 assert jax.devices()[0].platform == "tpu", jax.devices()[0].platform

@@ -2,10 +2,11 @@
 
 Numerics run here in interpret mode on CPU.  The real-chip existence proof
 is ``test_real_tpu_smoke`` (subprocess without the CPU-platform forcing,
-gated on VISTAF_RUN_TPU=1); its measured outcome is recorded in
-``FTPConfig.deploy``: p50 3.94 -> 3.26 ms at bench scale, which is why
-``hist_pallas`` is the deploy default.  Arrays beyond the ~12.5 MB VMEM
-residency budget fall back to the XLA ladder (``test_vmem_fallback``).
+gated on VISTAF_RUN_TPU=1); measured outcomes are recorded in
+``FTPConfig.deploy`` (round 3: in-kernel bisection took the deploy pipeline
+3.14 -> 1.78 ms at bench scale), which is why ``hist_pallas`` is the deploy
+default.  Arrays beyond the ~12.5 MB VMEM residency budget fall back to the
+XLA bisection ladder (``test_vmem_fallback``).
 """
 import os
 import subprocess
@@ -46,8 +47,9 @@ def test_median_mad_match(rng):
 
 
 def test_vmem_fallback(rng):
-    """Above the VMEM budget the entry points must route to the XLA ladder
-    (same numerics) instead of attempting an un-lowerable pallas_call."""
+    """Above the VMEM budget the entry points must route to the XLA
+    bisection ladder (equal-or-tighter bracket, ~16x less compute at 4K
+    plane sizes) instead of attempting an un-lowerable pallas_call."""
     big = (1747, 1747)   # native-4K FTP crop scale; 24 MB combined
     assert not _fits_vmem(np.empty(big, np.float32))
     assert _fits_vmem(np.empty((1280, 1280), np.float32))
@@ -56,10 +58,13 @@ def test_vmem_fallback(rng):
     from vistaf_tpu.ops.percentile import masked_percentile_hist_multi
     q = masked_quantiles_pallas(x, m, (25.0, 92.0))
     gold = masked_percentile_hist_multi(x, m, (25.0, 92.0))
-    np.testing.assert_allclose(np.asarray(q), np.asarray(gold), atol=1e-7)
+    span = float(np.ptp(np.asarray(x)[np.asarray(m)]))
+    # both estimates sit inside brackets <= span/128^3 resp. span/2^21
+    np.testing.assert_allclose(np.asarray(q), np.asarray(gold),
+                               atol=2e-6 * span)
     med, mad = masked_median_mad_pallas(x, m)   # default refine=1
     gmed = float(masked_percentile_hist(x, m, 50.0, refine=1))
-    assert abs(float(med) - gmed) < 1e-6
+    assert abs(float(med) - gmed) < 2e-4 * span   # span/128^2 + span/2^16
     assert float(mad) > 0
 
 

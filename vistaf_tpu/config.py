@@ -205,18 +205,20 @@ class FTPConfig:
         return dataclasses.replace(self, **kw)
 
     def deploy(self) -> "FTPConfig":
-        """Latency-oriented TPU preset: fused-Pallas histogram percentiles,
-        strided ECC statistics, gather-free shear ECC sampling, EDT-seeded
+        """Latency-oriented TPU preset: fused-Pallas bisection percentiles,
+        strided ECC statistics, gather-free shear ECC sampling (with the
+        fused GN-iteration kernel, ``pallas/ecc_kernel.py``), EDT-seeded
         dominant-component selection, reduced solver budgets.  Validated on
         the 5 demo scenes: deploy force lands within 0.8% of the committed
-        reference outputs at native 4K and within 0.1% of the parity preset
-        at bench scale.
+        reference outputs at native 4K (max 0.75%, GOLDENS_r03_deploy.json)
+        and within 0.1% of the parity preset at bench scale.
 
-        ``hist_pallas`` fuses each masked-quantile ladder into one VMEM-
-        resident kernel launch; measured on the real chip it takes the
-        640x480 frame->force p50 from 3.94 ms to 3.26 ms (254 -> 307 fps).
-        Crops too large for VMEM (native-4K) fall back to the identical-
-        numerics XLA ladder automatically, so the preset is size-safe.
+        ``hist_pallas`` fuses each masked-quantile refinement into one
+        VMEM-resident bisection kernel; together with the fused inpaint and
+        ECC kernels the measured 640x480 frame->force p50 is 1.51 ms
+        (664 fps/chip, BENCH_r03) vs 3.83 ms in round 2.  Crops too large
+        for VMEM (native-4K) fall back to equal-accuracy XLA bisection
+        ladders automatically, so the preset is size-safe.
 
         The shear sampler's reach must cover the largest rotational
         displacement across the crop (~theta_max * crop_radius); scale it

@@ -171,6 +171,45 @@ def masked_percentile_hist_rows(X: jnp.ndarray, M: jnp.ndarray, qs: tuple,
     return jnp.where(n > 0, v, jnp.float32(fallback))
 
 
+@functools.partial(jax.jit, static_argnames=("qs", "levels"))
+def masked_percentile_bisect_multi(arr: jnp.ndarray, mask: jnp.ndarray,
+                                   qs: tuple, levels: int = 23,
+                                   fallback: float = 0.0) -> jnp.ndarray:
+    """Masked percentiles via pure bisection (the ``bins=2`` ladder).
+
+    Each level is ONE masked count per quantile (N*Q compare+adds) instead
+    of the wide ladder's N*bins — at the default 23 levels the bracket is
+    tighter than the 128^3 histogram ladder's for ~16x less compute.  The
+    wide ladder wins on launch-bound small arrays (fewer passes); this wins
+    on compute-bound large ones (native-4K planes), where it is the
+    above-VMEM fallback of the fused Pallas quantile kernels.
+    """
+    Q = len(qs)
+    x = arr.astype(jnp.float32).ravel()
+    m = (mask.ravel() if mask is not None else jnp.ones_like(x, dtype=bool)) & jnp.isfinite(x)
+    mcol = m[:, None]
+    xcol = x[:, None]
+    n = jnp.sum(m.astype(jnp.float32))
+    big = jnp.float32(3e38)
+    glo = jnp.min(jnp.where(m, x, big))
+    ghi = jnp.max(jnp.where(m, x, -big))
+    targets = jnp.asarray([q / 100.0 for q in qs], jnp.float32) * jnp.maximum(n - 1.0, 0.0)
+
+    def level(_, carry):
+        lo, hi = carry                                           # (Q,)
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(((xcol <= mid[None, :]) & mcol).astype(jnp.float32),
+                      axis=0)
+        go_hi = cnt <= targets
+        return jnp.where(go_hi, mid, lo), jnp.where(go_hi, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, levels, level,
+                               (jnp.full((Q,), 1.0) * glo,
+                                jnp.full((Q,), 1.0) * ghi))
+    v = 0.5 * (lo + hi)
+    return jnp.where(n > 0, v, jnp.float32(fallback))
+
+
 def get_percentile_fn(method: str):
     """Select the percentile implementation: 'sort' (exact, NumPy-faithful),
     'hist' (histogram refinement, XLA), or 'hist_pallas' (same ladder

@@ -47,10 +47,19 @@ def _shift(a: jnp.ndarray, k: int, axis: int, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(K, H, W, co_ref, i_ref, gx_ref, gy_ref, m_ref, t_ref, sm_ref,
             out_ref):
-    # coefficients: [cy_u, cy_v, cy_c, cx_u, cx_v, cx_c, cos, sin]
-    cy_u, cy_v, cy_c = co_ref[0], co_ref[1], co_ref[2]
-    cx_u, cx_v, cx_c = co_ref[3], co_ref[4], co_ref[5]
-    c, s = co_ref[6], co_ref[7]
+    # coefficients: [cy_u, cy_v, cy_c, cx_u, cx_v, cx_c, cos, sin] as a
+    # (1, 8) VMEM block (not SMEM: vmapping the pallas_call — the 4-stream
+    # batched pipeline — cannot block SMEM operands); extract each scalar
+    # with a masked reduction, which lowers everywhere
+    co = co_ref[:]
+    l8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+    def at(i):
+        return jnp.sum(jnp.where(l8 == i, co, 0.0))
+
+    cy_u, cy_v, cy_c = at(0), at(1), at(2)
+    cx_u, cx_v, cx_c = at(3), at(4), at(5)
+    c, s = at(6), at(7)
 
     planes = [i_ref[:], gx_ref[:], gy_ref[:], m_ref[:]]
     Hp, Wp = planes[0].shape
@@ -125,9 +134,8 @@ def gn_moments_euclidean(S_cf: jnp.ndarray, T: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_kernel, K, H, W),
         out_shape=jax.ShapeDtypeStruct((1, 36), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(coeffs.astype(jnp.float32), *args)
+    )(coeffs.astype(jnp.float32).reshape(1, 8), *args)
     return out.reshape(6, 6)

@@ -100,7 +100,13 @@ def masked_quantiles_pallas(arr: jnp.ndarray, mask: jnp.ndarray, qs: tuple,
     ~range/bins^(1+refine)).  Arrays too large for VMEM residency — or
     non-TPU backends, where the Mosaic kernel cannot lower — take the XLA
     (bins, refine) ladder instead, which is launch-optimal there."""
-    if not _fits_vmem(arr) or (not interpret and jax.default_backend() != "tpu"):
+    if not _fits_vmem(arr):
+        # above the VMEM budget the array is compute-bound, where bisection
+        # (N compares/level) beats the wide ladder (N*bins/pass) ~16x
+        from vistaf_tpu.ops.percentile import masked_percentile_bisect_multi
+        return masked_percentile_bisect_multi(
+            arr, mask, qs, levels=_bisect_levels(bins, refine))
+    if not interpret and jax.default_backend() != "tpu":
         from vistaf_tpu.ops.percentile import masked_percentile_hist_multi
         return masked_percentile_hist_multi(arr, mask, qs, bins=bins,
                                             refine=refine)
@@ -133,7 +139,15 @@ def masked_median_mad_pallas(arr: jnp.ndarray, mask: jnp.ndarray,
     single most repeated percentile use in the pipeline.  Arrays too large
     for VMEM residency — or non-TPU backends — take the XLA ladder
     instead."""
-    if not _fits_vmem(arr) or (not interpret and jax.default_backend() != "tpu"):
+    if not _fits_vmem(arr):
+        from vistaf_tpu.ops.percentile import masked_percentile_bisect_multi
+        lv = _bisect_levels(bins, refine)
+        med = masked_percentile_bisect_multi(arr, mask, (50.0,), levels=lv)[0]
+        mad = masked_percentile_bisect_multi(
+            jnp.abs(arr.astype(jnp.float32) - med), mask, (50.0,),
+            levels=lv)[0]
+        return med, mad
+    if not interpret and jax.default_backend() != "tpu":
         from vistaf_tpu.ops.percentile import masked_percentile_hist
         med = masked_percentile_hist(arr, mask, 50.0, bins=bins, refine=refine)
         mad = masked_percentile_hist(jnp.abs(arr.astype(jnp.float32) - med),
