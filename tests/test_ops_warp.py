@@ -78,3 +78,60 @@ def test_shear_warp_stack_matches_gather_sampling(rng):
     # interior agreement (borders differ by constant0 band width)
     err = np.abs(ours[:, 6:-6, 6:-6] - gold[:, 6:-6, 6:-6])
     assert err.max() < 5e-3
+
+
+def test_line_shift_frac_matches_roll(rng):
+    """Per-row horizontal fractional shift: integer shifts equal exact
+    zero-fill shifts; fractional shifts equal the 2-tap blend."""
+    H, W = 40, 50
+    x = rng.random((H, W, 2)).astype(np.float32)
+    s_int = rng.integers(-9, 9, size=H).astype(np.float32)
+    out = np.asarray(warp.line_shift_frac(jnp.asarray(x), jnp.asarray(s_int),
+                                          shift_axis=1, line_axis=0, bits=5))
+    # out[i, j] = x[i, j - s[i]] with zero border
+    gold = np.zeros_like(x)
+    for i in range(H):
+        k = int(s_int[i])
+        for j in range(W):
+            if 0 <= j - k < W:
+                gold[i, j] = x[i, j - k]
+    np.testing.assert_allclose(out, gold, atol=1e-6)
+
+    s_frac = s_int + 0.25
+    out2 = np.asarray(warp.line_shift_frac(jnp.asarray(x), jnp.asarray(s_frac),
+                                           shift_axis=1, line_axis=0, bits=5))
+    gold2 = np.zeros_like(x)
+    for i in range(H):
+        k = int(s_int[i])
+        for j in range(W):
+            va = x[i, j - k] if 0 <= j - k < W else 0.0
+            vb = x[i, j - k - 1] if 0 <= j - k - 1 < W else 0.0
+            gold2[i, j] = 0.75 * va + 0.25 * vb
+    np.testing.assert_allclose(out2, gold2, atol=1e-6)
+
+
+def test_rotate_stack_shear_matches_gather_rotation(rng):
+    """Paeth 3-shear rotation must agree with bilinear-gather sampling
+    through rotation_matrix on smooth fields (the oriented-blur regime)."""
+    h, w = 120, 160
+    img = cv2.GaussianBlur(rng.random((h, w)).astype(np.float32), (0, 0), 4)
+    roi = np.zeros((h, w), np.float32)
+    cv2.circle(roi, (80, 60), 42, 1.0, -1)
+    stack = jnp.asarray(np.stack([img, roi], axis=-1))
+    center = (w / 2.0, h / 2.0)
+
+    for ang in (-37.0, -5.0, 11.5, 44.0):
+        ours = np.asarray(warp.rotate_stack_shear(stack, ang, center))
+        M = warp.rotation_matrix(center, ang)
+        Minv = warp.invert_affine(M)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        sx = np.asarray(Minv)[0, 0] * xx + np.asarray(Minv)[0, 1] * yy + np.asarray(Minv)[0, 2]
+        sy = np.asarray(Minv)[1, 0] * xx + np.asarray(Minv)[1, 1] * yy + np.asarray(Minv)[1, 2]
+        gold = np.asarray(warp.sample_bilinear_stack(stack, jnp.asarray(sy),
+                                                     jnp.asarray(sx)))
+        inside = gold[..., 1] > 0.9   # compare where the ROI survived
+        err = np.abs(ours[..., 0] - gold[..., 0])[inside]
+        assert err.max() < 0.02, (ang, err.max())
+        # validity channel agrees except on the shear staircase fringe
+        disagree = np.mean((ours[..., 1] > 0.5) != (gold[..., 1] > 0.5))
+        assert disagree < 0.02, ang

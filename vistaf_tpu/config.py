@@ -299,11 +299,18 @@ class TempConfig:
     # diffusion-inpaint iteration budgets (wide / color domains)
     wide_inpaint_iters: int = 96
     color_inpaint_iters: int = 48
+    # oriented-blur rotation operator: 'gather' = full-frame bilinear
+    # gathers (closest to cv2.warpAffine; parity default), 'shear' = Paeth
+    # three-shear rotation via vectorized shift-selects (ops/warp.py::
+    # rotate_stack_shear) — the gathers alone were ~577 of ~690 ms of the
+    # native-4K temperature latency (scripts/profile_temp4k.py)
+    rotate_method: str = "gather"
 
     def deploy(self) -> "TempConfig":
         """Latency-oriented TPU preset."""
         return self.replace(percentile_method="hist", use_fused_kernel=True,
-                            wide_inpaint_iters=48, color_inpaint_iters=24)
+                            wide_inpaint_iters=48, color_inpaint_iters=24,
+                            rotate_method="shear")
 
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5

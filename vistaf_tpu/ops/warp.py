@@ -162,6 +162,117 @@ def shear_warp_stack(S: jnp.ndarray, M: jnp.ndarray, K: int = 4,
     return _hat_resample_axis(A, disp_x, K, axis=2, border=border)
 
 
+def _shift_zero(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Shift ``x`` by static ``k`` along ``axis`` with zero fill (content
+    moves toward higher indices for k > 0): out[i] = x[i - k]."""
+    if k == 0:
+        return x
+    n = x.shape[axis]
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (k, 0) if k > 0 else (0, -k)
+    xp = jnp.pad(x, pads)
+    start = [0] * x.ndim
+    if k < 0:
+        start[axis] = -k
+    return jax.lax.slice(xp, start, [s + st for s, st in zip(x.shape, start)])
+
+
+def line_shift_frac(stack: jnp.ndarray, s: jnp.ndarray, shift_axis: int,
+                    line_axis: int, bits: int) -> jnp.ndarray:
+    """Per-line fractional shift, gather-free: each line indexed along
+    ``line_axis`` is shifted along ``shift_axis`` by its own float amount
+    (out[..., i, ...] = stack[..., i - s_line, ...] on the shift axis),
+    zero border.  ``s`` has length ``stack.shape[line_axis]``.
+
+    The integer part is applied by binary decomposition — ``bits``
+    select-shift passes of statically shifted copies (pure VPU selects, no
+    gathers; shifts beyond ±(2^bits - 1) are clamped) — and the fraction by
+    a 2-tap linear blend.  This only composes because the shift is constant
+    along ``shift_axis`` (the axes must differ): every pixel of a line
+    moves coherently, so later passes shift already-shifted content by the
+    line's own remaining bits.  This is what makes large-displacement
+    shears (rotation at native 4K needs shifts of hundreds of px)
+    affordable on TPU, where a bilinear gather over 8 M pixels costs ~100x
+    more.
+    """
+    assert shift_axis != line_axis
+    shape = [1] * stack.ndim
+    shape[line_axis] = stack.shape[line_axis]
+
+    def bc(v):
+        return v.reshape(shape)
+
+    lim = (1 << bits) - 1
+    k = jnp.clip(jnp.floor(s), -lim, lim).astype(jnp.int32)
+    f = jnp.clip(s - k, 0.0, 1.0).astype(jnp.float32)
+    pos = k >= 0
+    m = jnp.abs(k)
+    # fractional 2-tap blend FIRST (on the unshifted array padded by one
+    # zero line at the high end, so neither border's partial tap is lost to
+    # intermediate zero fill), then the integer shift, then crop
+    pads = [(0, 0)] * stack.ndim
+    pads[shift_axis] = (0, 1)
+    xp1 = jnp.pad(stack, pads)
+    x = bc(1.0 - f) * xp1 + bc(f) * _shift_zero(xp1, 1, shift_axis)
+    for b in range(bits):
+        bit = ((m >> b) & 1) == 1
+        xp = _shift_zero(x, 1 << b, shift_axis)
+        xn = _shift_zero(x, -(1 << b), shift_axis)
+        x = jnp.where(bc(bit & pos), xp, jnp.where(bc(bit & ~pos), xn, x))
+    return jax.lax.slice_in_dim(x, 0, stack.shape[shift_axis], axis=shift_axis)
+
+
+def _shear_bits(max_shift: float) -> int:
+    import math
+    return max(1, int(math.ceil(math.log2(max_shift + 2.0))))
+
+
+_SHEAR_MAX_DEG = 50.0   # callers fold larger rotations by quarter turns
+
+
+def rotate_stack_shear(stack: jnp.ndarray, angle_deg, center) -> jnp.ndarray:
+    """Gather-free rotation of an (H, W, C) stack about ``center``:
+    numerically interchangeable with sampling through
+    ``rotation_matrix(center, angle_deg)`` with a constant0 border, but
+    built from a Paeth three-shear decomposition of the inverse map — each
+    shear a per-line fractional shift via ``line_shift_frac``.
+
+    Replaces the two full-frame bilinear gathers of the oriented-blur
+    rotation (``temperature_sensor.py:705-742``), which dominated the 4K
+    temperature latency (~577 of ~690 ms; scripts/profile_temp4k.py).
+    Valid for |angle_deg| <= 50; the oriented-blur caller folds larger
+    angles into quarter turns plus a sigma swap.
+    """
+    h, w, _ = stack.shape
+    cx, cy = float(center[0]), float(center[1])
+
+    # inverse map = rotation by -angle about the same center:
+    # [[cos A, -sin A], [sin A, cos A]], A = deg2rad(angle_deg).
+    A = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    c_ = jnp.cos(A)
+    S = -jnp.sin(A)    # top-right entry
+    safe = jnp.where(jnp.abs(S) < 1e-8, 1.0, S)
+    a = jnp.where(jnp.abs(S) < 1e-8, 0.0, (1.0 - c_) / safe)   # tan(phi/2)
+    b = -S
+
+    import math
+    half_y = max(cy, (h - 1) - cy)
+    half_x = max(cx, (w - 1) - cx)
+    bits_x = _shear_bits(math.tan(math.radians(_SHEAR_MAX_DEG) / 2) * half_y)
+    bits_y = _shear_bits(math.sin(math.radians(_SHEAR_MAX_DEG)) * half_x)
+
+    rows = jnp.arange(h, dtype=jnp.float32) - cy
+    cols = jnp.arange(w, dtype=jnp.float32) - cx
+    # pass 1/3: Sx(a) about center — out(y, x) = in(y, x + a*(y - cy))
+    sx = -a * rows
+    # pass 2: Sy(b) — out(y, x) = in(y + b*(x - cx), x)
+    sy = -b * cols
+
+    out = line_shift_frac(stack, sx, shift_axis=1, line_axis=0, bits=bits_x)
+    out = line_shift_frac(out, sy, shift_axis=0, line_axis=1, bits=bits_y)
+    return line_shift_frac(out, sx, shift_axis=1, line_axis=0, bits=bits_x)
+
+
 def warp_affine_inverse_shear(img: jnp.ndarray, M: jnp.ndarray, K: int = 4,
                               border: str = "reflect") -> jnp.ndarray:
     """Gather-free warp_affine_inverse_map for small warps (|disp| <= K-1):

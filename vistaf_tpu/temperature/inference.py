@@ -70,22 +70,54 @@ def _rotate_stack(stack, M):
     return sample_bilinear_stack(stack, sy, sx)
 
 
-def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along):
+def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along,
+                           method: str = "gather"):
     """Rotate so across-stripe direction aligns with +x, anisotropic blur,
-    rotate back (``temperature_sensor.py:705-742``)."""
+    rotate back (``temperature_sensor.py:705-742``).
+
+    method 'gather' samples both rotations through full-frame bilinear
+    gathers (closest to cv2.warpAffine; the parity default).  method
+    'shear' runs the Paeth three-shear rotation (``rotate_stack_shear``)
+    instead: TPU gathers over 8 M pixels dominated the native-4K
+    temperature latency (~577 of ~690 ms, scripts/profile_temp4k.py), while
+    the shear path is pure vectorized shift-selects.  Angles beyond the
+    shear decomposition's 50° validity are folded by quarter turns — a 90°
+    rotation is exactly an axis swap of the two blur sigmas, so the fold
+    swaps (sigma_across, sigma_along) instead of resampling.
+    """
     if sigma_across <= 0 and sigma_along <= 0:
         return jnp.where(roi, map_f, jnp.nan)
     h, w = map_f.shape
     center = (w / 2.0, h / 2.0)
     angle_deg = -angle_rad * 180.0 / jnp.pi
+    sa = float(max(sigma_across, 1e-6))
+    sl = float(max(sigma_along, 1e-6))
 
     map0 = jnp.where(jnp.isfinite(map_f), map_f, 0.0)
+    stack0 = jnp.stack([map0, roi.astype(jnp.float32)], axis=-1)
+
+    if method == "shear":
+        from vistaf_tpu.ops.warp import rotate_stack_shear
+        q = jnp.round(angle_deg / 90.0)
+        ang = angle_deg - 90.0 * q
+        odd = (jnp.abs(q.astype(jnp.int32)) % 2) == 1
+
+        def run(sx_blur, sy_blur):
+            rot = rotate_stack_shear(stack0, ang, center)
+            blurred = gaussian_blur(rot[..., 0], sx_blur, sy_blur)
+            stack1 = jnp.stack([blurred, (rot[..., 1] > 0.5).astype(jnp.float32)],
+                               axis=-1)
+            back = rotate_stack_shear(stack1, -ang, center)
+            return jnp.where(back[..., 1] > 0.5, back[..., 0], jnp.nan)
+
+        return jax.lax.cond(odd, lambda: run(sl, sa), lambda: run(sa, sl))
+
     M = rotation_matrix(center, angle_deg)
-    rot = _rotate_stack(jnp.stack([map0, roi.astype(jnp.float32)], axis=-1), M)
+    rot = _rotate_stack(stack0, M)
     rot_map = rot[..., 0]
     rot_roi = rot[..., 1] > 0.5
 
-    blurred = gaussian_blur(rot_map, float(max(sigma_across, 1e-6)), float(max(sigma_along, 1e-6)))
+    blurred = gaussian_blur(rot_map, sa, sl)
 
     M_inv = rotation_matrix(center, -angle_deg)
     back = _rotate_stack(jnp.stack([blurred, rot_roi.astype(jnp.float32)], axis=-1), M_inv)
@@ -205,7 +237,8 @@ class TemperaturePipeline:
         if cfg.final_smooth_enable:
             final_map = oriented_gaussian_blur(final_fused, roi_full, seg.angle_rad,
                                                cfg.final_smooth_sigma_across,
-                                               cfg.final_smooth_sigma_along)
+                                               cfg.final_smooth_sigma_along,
+                                               method=cfg.rotate_method)
             final_map = clamp_map(final_map, roi_full, cfg.final_t_min, cfg.final_t_max)
         else:
             final_map = final_fused
