@@ -61,11 +61,47 @@ def _band_matrix(n: int, k_key) -> np.ndarray:
     return B
 
 
+# Above this tap count a dense banded matmul (MXU) wins; below it the
+# shift-add decomposition does.  A dense n x n matmul costs 2*n*H*W FLOPs
+# per axis regardless of kernel size, so a 5-tap blur at native 4K burns
+# ~100 GFLOP on the MXU (~10 ms measured) where shift-adds are a
+# memory-bound ~10 FMA/px VPU pass (<1 ms).  63 covers the sigma<=6
+# kernels the pipelines use hot; the sigma-45 illumination kernel (361
+# taps) stays on the MXU.
+_SHIFT_ADD_MAX_TAPS = 63
+
+
+def _shift_add_sep2d(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
+    """Small-kernel separable conv via padded static shifts (VPU),
+    REFLECT_101 border — numerically the same sum as the banded matmul up
+    to f32 association order."""
+    x = x.astype(jnp.float32)
+    h, w = x.shape
+    ry, rx = (len(ky) - 1) // 2, (len(kx) - 1) // 2
+    xp = _reflect101_pad(x, 0, rx)
+    row = None
+    for t, c in enumerate(kx):
+        term = float(c) * jax.lax.slice(xp, (0, t), (h, t + w))
+        row = term if row is None else row + term
+    rp = _reflect101_pad(row, ry, 0)
+    out = None
+    for t, c in enumerate(ky):
+        term = float(c) * jax.lax.slice(rp, (t, 0), (t + h, w))
+        out = term if out is None else out + term
+    return out
+
+
 def _sep_conv2d(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
     """Separable 2-D convolution with REFLECT_101 border, float32.
 
-    Implemented as two banded matmuls (MXU) rather than lax.conv — see
-    _band_matrix."""
+    Small kernels run as fused shift-adds on the VPU; large kernels as two
+    banded matmuls on the MXU (single-channel lax.conv is pathological on
+    TPU either way) — see _SHIFT_ADD_MAX_TAPS / _band_matrix."""
+    if (max(len(ky), len(kx)) <= _SHIFT_ADD_MAX_TAPS
+            # reflect padding needs radius < dim; tiny crops take the matmul
+            and (len(ky) - 1) // 2 < x.shape[0]
+            and (len(kx) - 1) // 2 < x.shape[1]):
+        return _shift_add_sep2d(x, ky, kx)
     x = x.astype(jnp.float32)
     h, w = x.shape
     By = jnp.asarray(_band_matrix(h, tuple(np.asarray(ky, np.float64))))
