@@ -1,0 +1,53 @@
+"""TempConfig.crop_compute (the deploy default): per-pixel stages run on
+the static outer-ROI bbox and re-embed.  The pad covers every local-op
+reach (inpaint diffusion moves 1 px/iteration), so results inside the ROI
+must match the full-frame path; outside the bbox the maps are the same
+NaN/zero fill the clamps produce anyway."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vistaf_tpu.config import TempConfig
+from vistaf_tpu.temperature.inference import TemperaturePipeline
+from vistaf_tpu.utils.synthetic import (scaled_ftp_config, scaled_temp_config,
+                                        synthetic_pair, synthetic_temp_weights)
+
+
+def _small_cfg():
+    # small frame with a compact ROI circle so the bbox is a real crop:
+    # circle center (320, 160) radius 80 -> bbox well inside 320x640
+    return scaled_temp_config(320, 640).replace(
+        outer_circle_p1=(400, 160), outer_circle_p2=(240, 160),
+        outer_circle_p3=(320, 240), use_inner_circle=False,
+        wide_inpaint_iters=8, color_inpaint_iters=4)
+
+
+@pytest.mark.parametrize("rot", ["gather", "shear"])
+def test_crop_compute_matches_full_frame(rng, rot):
+    color, wide = synthetic_temp_weights()
+    cfg0 = _small_cfg().replace(rotate_method=rot)
+    _, de = synthetic_pair(320, 640, scaled_ftp_config(320, 640))
+
+    full = TemperaturePipeline(cfg0, color, wide)(de)
+    crop_pipe = TemperaturePipeline(cfg0.replace(crop_compute=True), color, wide)
+    assert crop_pipe._compute_bbox is not None
+    y0, y1, x0, x1 = crop_pipe._compute_bbox
+    assert (y1 - y0) < 320 or (x1 - x0) < 640, "bbox must actually crop"
+    cropped = crop_pipe(de)
+
+    for key in ("temperature_map_final", "temperature_map_fused",
+                "wide_map", "color_map"):
+        a, b = full[key], cropped[key]
+        assert a.shape == b.shape, key
+        fa, fb = np.isfinite(a), np.isfinite(b)
+        assert (fa != fb).mean() < 2e-3, key
+        both = fa & fb
+        np.testing.assert_allclose(a[both], b[both], atol=2e-3, err_msg=key)
+
+    for key in ("t_mean", "t_max", "t_min", "t_std"):
+        assert abs(float(full[key]) - float(cropped[key])) < 1e-2, key
+    assert int(full["valid_pixels"]) == pytest.approx(
+        int(cropped["valid_pixels"]), abs=50)
+    # masks re-embed on the same canvas
+    assert cropped["mask_color_support"].shape == (320, 640)
+    assert cropped["source_map"].shape == (320, 640)

@@ -305,12 +305,18 @@ class TempConfig:
     # rotate_stack_shear) — the gathers alone were ~577 of ~690 ms of the
     # native-4K temperature latency (scripts/profile_temp4k.py)
     rotate_method: str = "gather"
+    # run every per-pixel stage after segmentation (feature blur, models,
+    # inpaint, fusion, oriented blur, stats) on the static outer-ROI bbox
+    # instead of the full frame (~2.7x less area at native 4K), re-embedding
+    # the maps afterwards; numerics change only within the blur reach of
+    # the bbox border, which the ROI never sees (pad 64 px)
+    crop_compute: bool = False
 
     def deploy(self) -> "TempConfig":
         """Latency-oriented TPU preset."""
         return self.replace(percentile_method="hist", use_fused_kernel=True,
                             wide_inpaint_iters=48, color_inpaint_iters=24,
-                            rotate_method="shear")
+                            rotate_method="shear", crop_compute=True)
 
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5

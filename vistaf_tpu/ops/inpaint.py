@@ -6,8 +6,10 @@ small glare/hole regions this pipeline repairs (``shape_ftp.py:652-666``,
 ``shape_ftp.py:1178-1203``, ``temperature_sensor.py:546-577``), and is a pure
 fixed-iteration stencil — ideal for the VPU.
 
-A geometric pyramid bootstraps large holes so convergence cost is
-O(iters * n) regardless of hole size.
+Unknown pixels are initialized to the mean of the known ones, so large
+holes start from a sensible baseline and the fixed iteration budget only
+has to resolve the local boundary profile, not propagate values across
+the hole from scratch.
 """
 from __future__ import annotations
 

@@ -152,6 +152,19 @@ class TemperaturePipeline:
             self._roi_full = self._roi_outer
         self._crop_bbox = (geometry.bbox_from_mask(self._roi_outer, pad=cfg.crop_pad_px)
                            if cfg.crop_output_to_outer_roi else None)
+        # static compute bbox (cfg.crop_compute): per-pixel stages run on
+        # this crop and re-embed; the pad covers every local-op reach —
+        # diffusion inpainting propagates 1 px/iteration, so border
+        # differences cannot reach the ROI; edges aligned to TPU tiles
+        if cfg.crop_compute:
+            pad = max(64, cfg.wide_inpaint_iters + 8, cfg.color_inpaint_iters + 8)
+            y0, y1, x0, x1 = geometry.bbox_from_mask(self._roi_outer, pad=pad)
+            self._compute_bbox = (max(0, (y0 // 8) * 8),
+                                  min(h, -(-y1 // 8) * 8),
+                                  max(0, (x0 // 128) * 128),
+                                  min(w, -(-x1 // 128) * 128))
+        else:
+            self._compute_bbox = None
         self._fused_fn = None
         if cfg.use_fused_kernel:
             from vistaf_tpu.pallas.temp_kernel import make_fused_temperature_fn
@@ -178,28 +191,49 @@ class TemperaturePipeline:
         cfg = self.cfg
         roi_full = jnp.asarray(self._roi_full)
         roi_outer = jnp.asarray(self._roi_outer)
+        full_hw = frame_bgr.shape[:2]
 
         gray_raw = bgr_to_gray(frame_bgr)
 
-        # --- segmentation on the unblurred frame
+        # --- segmentation on the unblurred frame (needs the full-frame FFT)
         seg = segment_stripes(gray_raw, roi_full, cfg)
+
+        # --- from here on everything is per-pixel/local: optionally run it
+        # on the static outer-ROI bbox (cfg.crop_compute) and re-embed
+        cb = self._compute_bbox
+
+        def crop(a):
+            return a[cb[0]:cb[1], cb[2]:cb[3]] if cb is not None else a
+
+        def embed(a, fill):
+            if cb is None:
+                return a
+            full = jnp.full(full_hw + a.shape[2:], fill, a.dtype)
+            return jax.lax.dynamic_update_slice(
+                full, a, (cb[0], cb[2]) + (0,) * (a.ndim - 2))
+
+        frame_c = crop(frame_bgr)
+        roi_full_c = crop(roi_full)
+        roi_eff_c = crop(seg.roi_eff)
+        light_c = crop(seg.light)
+        sat_c = crop(seg.sat)
 
         # --- feature planes from the 5x5-blurred frame (temperature_sensor.py:279-292)
         if cfg.blur_ksize > 1:
-            ch = [gaussian_blur_u8_round(frame_bgr[..., i].astype(jnp.float32), cfg.blur_ksize)
+            ch = [gaussian_blur_u8_round(frame_c[..., i].astype(jnp.float32), cfg.blur_ksize)
                   for i in range(3)]
             blurred = jnp.stack(ch, axis=-1)
         else:
-            blurred = frame_bgr.astype(jnp.float32)
+            blurred = frame_c.astype(jnp.float32)
 
-        light_d = dilate(seg.light, ellipse_kernel(cfg.color_support_dilate | 1,
-                                                   cfg.color_support_dilate | 1))
-        csup_pre = light_d & seg.roi_eff & ~seg.sat
+        light_d = dilate(light_c, ellipse_kernel(cfg.color_support_dilate | 1,
+                                                 cfg.color_support_dilate | 1))
+        csup_pre = light_d & roi_eff_c & ~sat_c
 
         if self._fused_fn is not None:
             # fused Pallas path: LAB + chroma + both models in one VMEM pass
             wide_map_raw, color_map_raw, color_support = self._fused_fn(
-                blurred, seg.roi_eff, csup_pre)
+                blurred, roi_eff_c, csup_pre)
             chroma = None  # lives inside the fused kernel; not exported
         else:
             lab = bgr_to_lab_u8(blurred)
@@ -213,16 +247,16 @@ class TemperaturePipeline:
             # --- model predictions
             feats_wide = jnp.stack([L, a, b, gray], axis=-1)
             wide_pred = self.wide_model.predict(feats_wide)
-            wide_map_raw = jnp.where(seg.roi_eff, wide_pred, jnp.nan)
+            wide_map_raw = jnp.where(roi_eff_c, wide_pred, jnp.nan)
 
             feats_color = jnp.stack([L, a, b], axis=-1)
             color_pred = self.color_model.predict(feats_color)
             color_map_raw = jnp.where(color_support, color_pred, jnp.nan)
 
         # --- per-domain inpainting + clamping (temperature_sensor.py:836-840)
-        wide_map = inpaint_within_roi(wide_map_raw, roi_full, ~jnp.isfinite(wide_map_raw) & roi_full,
+        wide_map = inpaint_within_roi(wide_map_raw, roi_full_c, ~jnp.isfinite(wide_map_raw) & roi_full_c,
                                       iters=cfg.wide_inpaint_iters, quantize_u8=True)
-        wide_map = clamp_map(wide_map, roi_full, cfg.final_t_min, cfg.final_t_max)
+        wide_map = clamp_map(wide_map, roi_full_c, cfg.final_t_min, cfg.final_t_max)
 
         color_map = inpaint_within_roi(color_map_raw, color_support,
                                        ~jnp.isfinite(color_map_raw) & color_support,
@@ -231,19 +265,20 @@ class TemperaturePipeline:
                               cfg.color_t_min - 5.0, cfg.color_t_max + 5.0)
 
         # --- fuse
-        final_fused, source_map, color_ok = fuse_maps_per_pixel(roi_full, wide_map, color_map, cfg)
+        final_fused, source_map, color_ok = fuse_maps_per_pixel(roi_full_c, wide_map, color_map, cfg)
 
-        # --- oriented smoothing
+        # --- oriented smoothing (rotate-blur-rotate-back is independent of
+        # the rotation center up to border effects, so the crop is safe)
         if cfg.final_smooth_enable:
-            final_map = oriented_gaussian_blur(final_fused, roi_full, seg.angle_rad,
+            final_map = oriented_gaussian_blur(final_fused, roi_full_c, seg.angle_rad,
                                                cfg.final_smooth_sigma_across,
                                                cfg.final_smooth_sigma_along,
                                                method=cfg.rotate_method)
-            final_map = clamp_map(final_map, roi_full, cfg.final_t_min, cfg.final_t_max)
+            final_map = clamp_map(final_map, roi_full_c, cfg.final_t_min, cfg.final_t_max)
         else:
             final_map = final_fused
 
-        stats_roi = roi_outer if cfg.crop_output_to_outer_roi else roi_full
+        stats_roi = crop(roi_outer if cfg.crop_output_to_outer_roi else roi_full)
         inside = stats_roi & jnp.isfinite(final_map)
         n = jnp.maximum(jnp.sum(inside.astype(jnp.float32)), 1.0)
         vals = jnp.where(inside, final_map, 0.0)
@@ -253,18 +288,18 @@ class TemperaturePipeline:
         t_std = jnp.sqrt(jnp.sum(jnp.where(inside, (final_map - t_mean) ** 2, 0.0)) / n)
 
         return {
-            "temperature_map_fused": final_fused,
-            "temperature_map_final": final_map,
-            "wide_map": wide_map,
-            "color_map": color_map,
-            "source_map": source_map,
-            **({"chroma": chroma} if chroma is not None else {}),
+            "temperature_map_fused": embed(final_fused, jnp.nan),
+            "temperature_map_final": embed(final_map, jnp.nan),
+            "wide_map": embed(wide_map, jnp.nan),
+            "color_map": embed(color_map, jnp.nan),
+            "source_map": embed(source_map, 0),
+            **({"chroma": embed(chroma, 0.0)} if chroma is not None else {}),
             "mask_dark": seg.dark,
             "mask_light": seg.light,
             "mask_sat": seg.sat,
             "mask_roi_eff": seg.roi_eff,
-            "mask_color_support": color_support,
-            "mask_color_ok": color_ok,
+            "mask_color_support": embed(color_support, False),
+            "mask_color_ok": embed(color_ok, False),
             "stripe_angle_rad": seg.angle_rad,
             "stripe_period_px": seg.period_px,
             "seg_peak_xy": seg.peak_xy,
