@@ -23,12 +23,30 @@ def _add_data_root(p):
                    help="root containing the reference-layout calibration artifacts")
 
 
+def _add_preset(p):
+    p.add_argument("--preset", default="parity", choices=["parity", "deploy"],
+                   help="'parity' = reference-faithful numerics (default); "
+                        "'deploy' = latency-oriented TPU preset "
+                        "(FTPConfig.deploy()/TempConfig.deploy(): fused Pallas "
+                        "kernels, shear rotation, ROI-crop compute — within "
+                        "0.8%% of the committed goldens at native 4K)")
+
+
+def _cfgs(args):
+    from vistaf_tpu.config import FTPConfig, TempConfig
+    if getattr(args, "preset", "parity") == "deploy":
+        return FTPConfig().deploy(), TempConfig().deploy()
+    return FTPConfig(), TempConfig()
+
+
 def cmd_force(args) -> int:
     from vistaf_tpu.pipelines.force import ForcePipeline
     from vistaf_tpu.runner import io
 
     debug = bool(getattr(args, "debug", False))
-    pipe = ForcePipeline.from_artifacts(args.data_root, debug_outputs=debug)
+    ftp_cfg, _ = _cfgs(args)
+    pipe = ForcePipeline.from_artifacts(args.data_root, ftp_cfg=ftp_cfg,
+                                        debug_outputs=debug)
     ref = io.imread_bgr(args.ref)
     de = io.imread_bgr(getattr(args, "def"))
     out = pipe(ref, de)
@@ -61,7 +79,8 @@ def cmd_temperature(args) -> int:
     from vistaf_tpu.temperature.inference import TemperaturePipeline
     from vistaf_tpu.runner import io, figures
 
-    pipe = TemperaturePipeline.from_artifacts(args.data_root)
+    _, temp_cfg = _cfgs(args)
+    pipe = TemperaturePipeline.from_artifacts(args.data_root, cfg=temp_cfg)
     img = io.imread_bgr(args.image)
     out = pipe(img)
     io.ensure_dir(args.out)
@@ -102,7 +121,9 @@ def cmd_multimodal(args) -> int:
     from vistaf_tpu.pipelines.multimodal import MultimodalPipeline
     from vistaf_tpu.runner.session import run_session
 
-    pipe = MultimodalPipeline.from_artifacts(args.data_root)
+    ftp_cfg, temp_cfg = _cfgs(args)
+    pipe = MultimodalPipeline.from_artifacts(args.data_root, ftp_cfg=ftp_cfg,
+                                             temp_cfg=temp_cfg)
     cfg = SessionConfig(output_root=args.out,
                         show_3d_interactive=getattr(args, "show_3d", False))
     summary = run_session(pipe, args.ref, getattr(args, "def"), args.data_root, cfg)
@@ -180,6 +201,7 @@ def main(argv=None) -> int:
     p.add_argument("--debug", action="store_true",
                    help="write the reference DEBUG_* figure set + debug_log.txt")
     _add_data_root(p)
+    _add_preset(p)
     p.set_defaults(fn=cmd_force)
 
     p = sub.add_parser("temperature", help="frame -> temperature map (temperature_sensor.py)")
@@ -188,6 +210,7 @@ def main(argv=None) -> int:
     p.add_argument("--debug", action="store_true",
                    help="write debug_{seg_overlay,fft_mag,chroma_u8}.png")
     _add_data_root(p)
+    _add_preset(p)
     p.set_defaults(fn=cmd_temperature)
 
     p = sub.add_parser("multimodal", help="frame pair -> full session (multimodal_sensor.py)")
@@ -198,6 +221,7 @@ def main(argv=None) -> int:
                    help="open the interactive 3-D heightmap window "
                         "(multimodal_sensor.py SHOW_3D_HEIGHTMAP_INTERACTIVE)")
     _add_data_root(p)
+    _add_preset(p)
     p.set_defaults(fn=cmd_multimodal)
 
     p = sub.add_parser("train-p2h", help="phase->height calibration (phase_to_height.py)")
