@@ -80,3 +80,46 @@ def test_temperature_debug_bbox_crop(tmp_path):
     for name in ("debug_seg_overlay.png", "debug_chroma_u8.png"):
         out = cv2.imread(str(tmp_path / name), cv2.IMREAD_UNCHANGED)
         assert out.shape[:2] == (y1 - y0, x1 - x0), (name, out.shape)
+
+
+TEMP_RAW_SET = {
+    "debug_wide_raw_dark_only_colormap.png",
+    "debug_wide_raw_light_only_colormap.png",
+    "debug_wide_raw_colormap.png",
+    "debug_color_raw_colormap_20_33.png",
+    "debug_color_raw_colormap_20_75.png",
+    "debug_fused_source.png",
+    "temperature_map_fused_colormap.png",
+    "temperature_map_fused_colormap_overlay.png",
+}
+
+
+def test_temperature_raw_maps_filename_set(tmp_path):
+    """The reference writes the raw-prediction/fused artifact set
+    UNCONDITIONALLY (temperature_sensor.py:873-927); filename + crop-shape
+    parity for write_temperature_raw_maps."""
+    import cv2
+    from vistaf_tpu.config import TempConfig
+    from vistaf_tpu.ops.geometry import bbox_from_mask
+    from vistaf_tpu.runner.debug_artifacts import write_temperature_raw_maps
+
+    H, W = 120, 160
+    rng = np.random.default_rng(2)
+    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    roi = np.zeros((H, W), bool)
+    cv2.circle(roi.view(np.uint8), (80, 60), 40, 1, -1)
+    dark = roi & (np.arange(W)[None, :] % 8 < 4)
+    raw = np.where(roi, rng.random((H, W)).astype(np.float32) * 30 + 20, np.nan)
+    tres = {
+        "roi_full": roi, "roi_outer": roi,
+        "mask_dark": dark, "mask_light": roi & ~dark,
+        "wide_map_raw": raw, "color_map_raw": raw,
+        "source_map": np.where(dark, 255, 0).astype(np.uint8),
+        "temperature_map_fused": raw,
+    }
+    bbox = bbox_from_mask(roi, pad=4)
+    write_temperature_raw_maps(str(tmp_path), img, tres, TempConfig(), bbox=bbox)
+    files = set(os.listdir(tmp_path))
+    assert TEMP_RAW_SET <= files, TEMP_RAW_SET - files
+    src = cv2.imread(str(tmp_path / "debug_fused_source.png"), cv2.IMREAD_GRAYSCALE)
+    assert src.shape == (bbox[1] - bbox[0], bbox[3] - bbox[2])

@@ -111,6 +111,10 @@ def cmd_temperature(args) -> int:
                                      "temperature_map_final_colormap_overlay.png",
                                      cfg.final_t_min, cfg.final_t_max)
     figures.save_horizontal_legend(args.out, cfg.final_t_min, cfg.final_t_max)
+    # the reference writes the raw-prediction/fused artifact set
+    # unconditionally (temperature_sensor.py:873-927)
+    from vistaf_tpu.runner.debug_artifacts import write_temperature_raw_maps
+    write_temperature_raw_maps(args.out, img, out, cfg, bbox=bbox)
     print(f"Final temperature min/max in ROI: {out['t_min']:.3f} / {out['t_max']:.3f} °C")
     print(f"Saved outputs to: {os.path.abspath(args.out)}")
     return 0

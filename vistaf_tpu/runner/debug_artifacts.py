@@ -225,3 +225,52 @@ def write_temperature_debug(outdir: str, img_bgr: np.ndarray,
     denom = (np.nanpercentile(chroma[roi], 99) + 1e-6) if roi.any() else 1.0
     ch_u8 = np.clip(chroma / denom * 255.0, 0, 255).astype(np.uint8)
     cv2.imwrite(os.path.join(outdir, "debug_chroma_u8.png"), crop(ch_u8))
+
+
+def write_temperature_raw_maps(outdir: str, img_bgr: np.ndarray,
+                               tres: Dict[str, Any], cfg, bbox=None) -> None:
+    """The reference's UNCONDITIONAL raw-prediction artifact set
+    (``temperature_sensor.py:873-927``): wide/color raw colormaps (incl.
+    dark-only / light-only wide variants), the fused-source PNG and the
+    fused colormap + overlay.  The dark/light variants reuse the exported
+    raw wide prediction — model values are mask-independent, so masking
+    post-hoc equals the reference's predict-on-mask."""
+    import cv2
+
+    from vistaf_tpu.runner import figures
+    from vistaf_tpu.runner.io import crop2d
+
+    os.makedirs(outdir, exist_ok=True)
+    stats_roi = np.asarray(tres["roi_outer"] if cfg.crop_output_to_outer_roi
+                           else tres["roi_full"], bool)
+    roi_c = crop2d(stats_roi, bbox)
+    wide_raw = np.asarray(tres["wide_map_raw"], np.float32)
+    color_raw = np.asarray(tres["color_map_raw"], np.float32)
+    dark = np.asarray(tres["mask_dark"], bool)
+    light = np.asarray(tres["mask_light"], bool)
+
+    def cmap(arr, name, vmin, vmax):
+        figures.save_temperature_colormap(outdir, crop2d(arr, bbox), roi_c,
+                                          name, vmin, vmax)
+
+    cmap(np.where(dark, wide_raw, np.nan),
+         "debug_wide_raw_dark_only_colormap.png", cfg.final_t_min, cfg.final_t_max)
+    cmap(np.where(light, wide_raw, np.nan),
+         "debug_wide_raw_light_only_colormap.png", cfg.final_t_min, cfg.final_t_max)
+    cmap(wide_raw, "debug_wide_raw_colormap.png", cfg.final_t_min, cfg.final_t_max)
+    cmap(color_raw, "debug_color_raw_colormap_20_33.png",
+         cfg.color_t_min, cfg.color_t_max)
+    cmap(color_raw, "debug_color_raw_colormap_20_75.png",
+         cfg.final_t_min, cfg.final_t_max)
+
+    cv2.imwrite(os.path.join(outdir, "debug_fused_source.png"),
+                crop2d(np.asarray(tres["source_map"], np.uint8), bbox))
+
+    fused = np.asarray(tres["temperature_map_fused"], np.float32)
+    figures.save_temperature_colormap(outdir, crop2d(fused, bbox), roi_c,
+                                      "temperature_map_fused_colormap.png",
+                                      cfg.final_t_min, cfg.final_t_max)
+    figures.save_temperature_overlay(outdir, crop2d(img_bgr, bbox),
+                                     crop2d(fused, bbox), roi_c,
+                                     "temperature_map_fused_colormap_overlay.png",
+                                     cfg.final_t_min, cfg.final_t_max)

@@ -292,6 +292,10 @@ class TemperaturePipeline:
             "temperature_map_final": embed(final_map, jnp.nan),
             "wide_map": embed(wide_map, jnp.nan),
             "color_map": embed(color_map, jnp.nan),
+            # pre-inpaint raw predictions for the reference's unconditional
+            # debug_{wide,color}_raw_* artifact set (temperature_sensor.py:873-908)
+            "wide_map_raw": embed(wide_map_raw, jnp.nan),
+            "color_map_raw": embed(color_map_raw, jnp.nan),
             "source_map": embed(source_map, 0),
             **({"chroma": embed(chroma, 0.0)} if chroma is not None else {}),
             "mask_dark": seg.dark,
