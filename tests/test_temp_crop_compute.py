@@ -51,3 +51,29 @@ def test_crop_compute_matches_full_frame(rng, rot):
     # masks re-embed on the same canvas
     assert cropped["mask_color_support"].shape == (320, 640)
     assert cropped["source_map"].shape == (320, 640)
+
+
+def test_crop_compute_with_fused_kernel(rng):
+    """Deploy combines crop_compute with the fused Pallas per-pixel kernel;
+    the kernel is shape-agnostic, so the cropped call must match the
+    full-frame fused call (interpret mode on CPU)."""
+    from vistaf_tpu.pallas.temp_kernel import make_fused_temperature_fn
+
+    color, wide = synthetic_temp_weights()
+    cfg = _small_cfg().replace(use_fused_kernel=True)
+    _, de = synthetic_pair(320, 640, scaled_ftp_config(320, 640))
+
+    full_pipe = TemperaturePipeline(cfg, color, wide)
+    full_pipe._fused_fn = make_fused_temperature_fn(cfg, color, wide, interpret=True)
+    full = full_pipe(de)
+
+    crop_pipe = TemperaturePipeline(cfg.replace(crop_compute=True), color, wide)
+    crop_pipe._fused_fn = make_fused_temperature_fn(cfg, color, wide, interpret=True)
+    cropped = crop_pipe(de)
+
+    a, b = full["temperature_map_final"], cropped["temperature_map_final"]
+    fa, fb = np.isfinite(a), np.isfinite(b)
+    assert (fa != fb).mean() < 2e-3
+    both = fa & fb
+    np.testing.assert_allclose(a[both], b[both], atol=2e-3)
+    assert abs(float(full["t_mean"]) - float(cropped["t_mean"])) < 1e-2
