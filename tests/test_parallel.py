@@ -94,3 +94,20 @@ def test_whole_limb_map_negative_indentation_sign():
     limb = np.asarray(out["whole_limb_map_mm"])
     assert limb.max() > 0.01  # nonzero contact despite negative-kept heights
     assert abs(float(out["max_depth_mm"]) - limb.max()) < 1e-5
+
+
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    """Without the multi-process env contract the bring-up is a no-op; with
+    it (but no real coordinator) the intent is detected."""
+    from vistaf_tpu.parallel import distributed as d
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert not d.is_multihost_env()
+    assert d.initialize_multihost() is False
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    assert d.is_multihost_env()
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    assert not d.is_multihost_env()
+    import jax
+    assert d.global_stream_count() == jax.device_count()

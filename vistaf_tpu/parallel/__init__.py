@@ -7,6 +7,11 @@ package maps frame batches over a ``jax.sharding.Mesh`` and fuses
 cross-stream summaries with collectives over ICI.
 """
 
+from vistaf_tpu.parallel.distributed import (  # noqa: F401
+    global_stream_count,
+    initialize_multihost,
+    is_multihost_env,
+)
 from vistaf_tpu.parallel.mesh import (  # noqa: F401
     make_stream_mesh,
     shard_batch,
