@@ -25,6 +25,37 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench
 H, W = 480, 640
 
 
+def wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0) -> None:
+    """Block until the tunneled chip answers a trivial op.
+
+    The axon pool can transiently return UNAVAILABLE (terminal restart,
+    stale claim); a bench run that fails fast on that records nothing.
+    Probe in clean subprocesses (a failed in-process backend init poisons
+    jax's backend cache) and give the pool bounded time to recover.
+    """
+    import subprocess
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert jax.devices()[0].platform == 'tpu'; "
+             "print(float(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))")
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=probe_timeout_s, capture_output=True)
+            return
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            if time.time() >= deadline:
+                print(f"bench: TPU unreachable after {attempt} probes "
+                      f"({max_wait_s:.0f}s); proceeding (will fail loudly)",
+                      file=sys.stderr, flush=True)
+                return
+            print(f"bench: TPU probe {attempt} failed ({type(e).__name__}); "
+                  f"retrying in 60s", file=sys.stderr, flush=True)
+            time.sleep(60.0)
+
+
 def small_inputs():
     """640x480 frame pair: downscaled reference demo images if available,
     else a synthetic grating scene."""
@@ -166,6 +197,7 @@ def measure_reference_cpu(ref, de, cfg):
 
 
 def main():
+    wait_for_tpu()
     cfg, ref, de = small_inputs()
     fps, p50_ms, force = measure_tpu(cfg, ref, de)
 

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Regenerate every TPU evidence artifact after a deploy-path change.
+# Usage: bash scripts/refresh_evidence.sh [outdir]   (default: repo root)
+# Runs sequentially (one chip): deploy goldens -> parity goldens ->
+# streams/temperature bench -> 4K bench.  ~25-40 min warm.
+set -e
+cd "$(dirname "$0")/.."
+OUT="${1:-.}"
+R="${VISTAF_ROUND:-r03}"
+
+echo "=== goldens (deploy) ==="
+python scripts/run_goldens_suite.py "$OUT/GOLDENS_${R}_deploy.json" deploy
+echo "=== goldens (parity) ==="
+python scripts/run_goldens_suite.py "$OUT/GOLDENS_${R}.json" parity
+echo "=== streams + temperature bench ==="
+python scripts/bench_streams.py "$OUT/BENCH_STREAMS_${R}.json"
+echo "=== 4K bench ==="
+python scripts/bench_4k.py "$OUT/BENCH_4K_${R}.json"
+echo "=== main bench ==="
+python bench.py
+echo "done — gate with: python -m pytest tests/test_corpus_regression.py -q"
