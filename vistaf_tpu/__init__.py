@@ -20,4 +20,17 @@ Layer map mirrors SURVEY.md §7.1.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even when a PJRT plugin pre-selected a platform
+    # at interpreter start (e.g. a sitecustomize-registered TPU plugin
+    # parses absl flags before user code runs, after which the env var
+    # alone no longer wins).  Makes `JAX_PLATFORMS=cpu python -m
+    # vistaf_tpu.runner.cli ...` work as documented anywhere.
+    import jax as _jax
+
+    if not _jax._src.xla_bridge._backends:   # only before backend init
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from vistaf_tpu import config  # noqa: F401
