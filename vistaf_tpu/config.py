@@ -171,6 +171,11 @@ class FTPConfig:
     # --- Unwrap solver (TPU substitution for shape_ftp.py:1043-1080) ---
     unwrap_cg_iters: int = 30
     unwrap_cg_tol: float = 1e-8
+    # 'wls' = XLA PCG loop; 'wls_pallas' = the whole solve in one fused
+    # VMEM kernel (pallas/unwrap_kernel.py) — the PCG while_loop is the
+    # last launch-bound chain in the deploy force path.  Falls back to
+    # 'wls' off-TPU and above the VMEM residency budget.
+    unwrap_method: str = "wls"
 
     # --- TPU numerics knobs (no reference equivalent) ---
     # 'sort' = exact NumPy-faithful percentiles; 'hist' = histogram

@@ -338,7 +338,14 @@ class FTPPipeline:
         phase_wrapped = jnp.angle(ratio).astype(jnp.float32)
 
         # --- unwrap (WLS substitution for shape_ftp.py:1043-1080)
-        phase_unwrapped = unwrap_wls(phase_wrapped, reliable, cg_iters=cfg.unwrap_cg_iters)
+        if cfg.unwrap_method == "wls_pallas":
+            from vistaf_tpu.pallas.unwrap_kernel import unwrap_wls_pallas
+            phase_unwrapped = unwrap_wls_pallas(phase_wrapped, reliable,
+                                                cg_iters=cfg.unwrap_cg_iters,
+                                                tol=cfg.unwrap_cg_tol)
+        else:
+            phase_unwrapped = unwrap_wls(phase_wrapped, reliable,
+                                         cg_iters=cfg.unwrap_cg_iters)
 
         if self.stop_after == 'unwrap':
             return {'x': phase_unwrapped}
