@@ -122,3 +122,22 @@ def test_real_tpu_smoke():
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "TPU_UNWRAP_OK" in r.stdout
+
+
+def test_vmap_batches(rng):
+    """The 4-stream batched pipeline vmaps the whole forward, so the
+    pallas_call must batch (regression class: SMEM operands break under
+    vmap — this kernel keeps everything in VMEM)."""
+    import jax
+    ws, ms = [], []
+    for s in range(3):
+        w, m, _ = _scene(np.random.default_rng(s), h=96, w=140)
+        ws.append(w); ms.append(m)
+    W = jnp.stack(ws); M = jnp.stack(ms)
+    f = jax.vmap(lambda w, m: unwrap_wls_pallas(w, m, cg_iters=10,
+                                                interpret=True))
+    out = np.asarray(f(W, M))
+    gold = np.asarray(unwrap_wls_pallas(W[1], M[1], cg_iters=10,
+                                        interpret=True))
+    both = np.isfinite(out[1]) & np.isfinite(gold)
+    np.testing.assert_allclose(out[1][both], gold[both], atol=1e-4)
