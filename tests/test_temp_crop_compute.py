@@ -77,3 +77,17 @@ def test_crop_compute_with_fused_kernel(rng):
     both = fa & fb
     np.testing.assert_allclose(a[both], b[both], atol=2e-3)
     assert abs(float(full["t_mean"]) - float(cropped["t_mean"])) < 1e-2
+
+
+def test_deploy_preset_runs_off_tpu(rng):
+    """TempConfig.deploy() must run on any backend: the fused Pallas
+    kernel only lowers on TPU, so off-TPU the pipeline takes the jnp path
+    (regression: the deploy preset used to crash on CPU with 'Only
+    interpret mode is supported')."""
+    color, wide = synthetic_temp_weights()
+    cfg = scaled_temp_config(160, 320).replace(
+        use_fused_kernel=True, rotate_method="shear", crop_compute=True,
+        wide_inpaint_iters=8, color_inpaint_iters=4)
+    _, de = synthetic_pair(160, 320, scaled_ftp_config(160, 320))
+    out = TemperaturePipeline(cfg, color, wide)(de)
+    assert np.isfinite(float(out["t_mean"]))

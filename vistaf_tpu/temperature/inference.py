@@ -166,7 +166,10 @@ class TemperaturePipeline:
         else:
             self._compute_bbox = None
         self._fused_fn = None
-        if cfg.use_fused_kernel:
+        if cfg.use_fused_kernel and jax.default_backend() == "tpu":
+            # off-TPU the Mosaic kernel cannot lower; the jnp path below is
+            # the identical-numerics fallback (mirrors the quantile/inpaint/
+            # ECC kernels' backend guards)
             from vistaf_tpu.pallas.temp_kernel import make_fused_temperature_fn
             self._fused_fn = make_fused_temperature_fn(cfg, color_model, wide_model)
         self._forward = jax.jit(self._forward_impl)
