@@ -25,13 +25,18 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench
 H, W = 480, 640
 
 
-def wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0) -> None:
+def wait_for_tpu(max_wait_s: float = 1500.0) -> None:
     """Block until the tunneled chip answers a trivial op.
 
     The axon pool can transiently return UNAVAILABLE (terminal restart,
     stale claim); a bench run that fails fast on that records nothing.
-    Probe in clean subprocesses (a failed in-process backend init poisons
-    jax's backend cache) and give the pool bounded time to recover.
+    Probe in a clean subprocess (a failed in-process backend init poisons
+    jax's backend cache) and NEVER kill a probe mid-claim — a SIGKILLed
+    claimant is exactly what wedges the pool (see the verify skill's
+    claim-hygiene note).  A probe that exits on its own (success or an
+    UNAVAILABLE error) may be relaunched; a probe still blocked in the
+    claim at the deadline is left running as the patient claimant and the
+    bench proceeds to wait on the backend itself.
     """
     import subprocess
     deadline = time.time() + max_wait_s
@@ -41,19 +46,27 @@ def wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0) -> 
     attempt = 0
     while True:
         attempt += 1
-        try:
-            subprocess.run([sys.executable, "-c", probe], check=True,
-                           timeout=probe_timeout_s, capture_output=True)
+        proc = subprocess.Popen([sys.executable, "-c", probe],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        while proc.poll() is None and time.time() < deadline:
+            time.sleep(5.0)
+        rc = proc.poll()
+        if rc == 0:
             return
-        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
-            if time.time() >= deadline:
-                print(f"bench: TPU unreachable after {attempt} probes "
-                      f"({max_wait_s:.0f}s); proceeding (will fail loudly)",
-                      file=sys.stderr, flush=True)
-                return
-            print(f"bench: TPU probe {attempt} failed ({type(e).__name__}); "
-                  f"retrying in 60s", file=sys.stderr, flush=True)
-            time.sleep(60.0)
+        if rc is None:
+            print(f"bench: TPU probe {attempt} still claiming at the "
+                  f"{max_wait_s:.0f}s deadline; leaving it running and "
+                  "proceeding", file=sys.stderr, flush=True)
+            return
+        if time.time() >= deadline:
+            print(f"bench: TPU unreachable after {attempt} probes "
+                  f"({max_wait_s:.0f}s); proceeding (will fail loudly)",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"bench: TPU probe {attempt} exited rc={rc}; retrying in 60s",
+              file=sys.stderr, flush=True)
+        time.sleep(60.0)
 
 
 def small_inputs():

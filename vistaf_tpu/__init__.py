@@ -30,7 +30,13 @@ if _os.environ.get("JAX_PLATFORMS"):
     # vistaf_tpu.runner.cli ...` work as documented anywhere.
     import jax as _jax
 
-    if not _jax._src.xla_bridge._backends:   # only before backend init
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    try:
+        # private, so probe defensively: on a jax that renames it, skip
+        # rather than break `import vistaf_tpu`
+        _backends = getattr(_jax._src.xla_bridge, "_backends", None)
+        if _backends is not None and not _backends:   # only before init
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 from vistaf_tpu import config  # noqa: F401

@@ -34,15 +34,7 @@ def fits_vmem(shape) -> bool:
     return Hp * Wp <= _MAX_ELEMS
 
 
-def _shift(a: jnp.ndarray, k: int, axis: int, idx: jnp.ndarray) -> jnp.ndarray:
-    """a[v + k] along ``axis`` with constant0 border (no wrap-around)."""
-    n = a.shape[axis]
-    if k == 0:
-        return a
-    rolled = pltpu.roll(a, (-k) % n, axis)
-    if k > 0:
-        return jnp.where(idx >= n - k, 0.0, rolled)
-    return jnp.where(idx < -k, 0.0, rolled)
+from vistaf_tpu.pallas.common import shift_const0 as _shift  # noqa: E402
 
 
 def _kernel(K, H, W, co_ref, i_ref, gx_ref, gy_ref, m_ref, t_ref, sm_ref,

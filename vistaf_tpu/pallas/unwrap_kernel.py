@@ -31,10 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vistaf_tpu.ops.unwrap import _dct2_matrix
+from vistaf_tpu.pallas.common import shift_const0 as _sh
 
-# Peak residency ~13 f32 planes + the two DCT matrices; keep padded planes
-# around <=1 MB so the working set stays well inside ~16 MB/core.
+# Peak residency ~13 f32 planes + the two dense DCT matrices; keep padded
+# planes around <=1 MB AND bound the matrices separately (a tall-narrow
+# crop has a small plane but a huge Dh) so the working set stays well
+# inside ~16 MB/core.
 _MAX_PADDED_ELEMS = 240_000
+_MAX_DCT_ELEMS = 700_000          # Hp^2 + Wp^2 (f32: ~2.8 MB)
 
 _TWO_PI = 2.0 * np.pi
 
@@ -42,16 +46,8 @@ _TWO_PI = 2.0 * np.pi
 def fits_vmem(shape) -> bool:
     Hp = -(-shape[0] // 8) * 8
     Wp = -(-shape[1] // 128) * 128
-    return Hp * Wp <= _MAX_PADDED_ELEMS
-
-
-def _sh(a: jnp.ndarray, k: int, axis: int, idx: jnp.ndarray) -> jnp.ndarray:
-    """a[v + k] along ``axis`` with constant0 border (no wrap-around)."""
-    n = a.shape[axis]
-    rolled = pltpu.roll(a, (-k) % n, axis)
-    if k > 0:
-        return jnp.where(idx >= n - k, 0.0, rolled)
-    return jnp.where(idx < -k, 0.0, rolled)
+    return (Hp * Wp <= _MAX_PADDED_ELEMS
+            and Hp * Hp + Wp * Wp <= _MAX_DCT_ELEMS)
 
 
 def _wrap(x):

@@ -61,8 +61,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         )
         return True
     except RuntimeError as e:
-        # already initialized — idempotent bring-up
-        if "already" in str(e).lower():
+        # already initialized — idempotent bring-up.  jax 0.9.0 phrases
+        # this as "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             return True
         raise
 

@@ -102,15 +102,19 @@ def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along,
         ang = angle_deg - 90.0 * q
         odd = (jnp.abs(q.astype(jnp.int32)) % 2) == 1
 
-        def run(sx_blur, sy_blur):
-            rot = rotate_stack_shear(stack0, ang, center)
-            blurred = gaussian_blur(rot[..., 0], sx_blur, sy_blur)
-            stack1 = jnp.stack([blurred, (rot[..., 1] > 0.5).astype(jnp.float32)],
-                               axis=-1)
-            back = rotate_stack_shear(stack1, -ang, center)
-            return jnp.where(back[..., 1] > 0.5, back[..., 0], jnp.nan)
-
-        return jax.lax.cond(odd, lambda: run(sl, sa), lambda: run(sa, sl))
+        # the two fold branches share BOTH rotations and differ only in the
+        # blur sigma pair — keep the rotations outside the cond so a vmapped
+        # caller (cond lowers to select there) pays the shear passes once
+        rot = rotate_stack_shear(stack0, ang, center)
+        blurred = jax.lax.cond(
+            odd,
+            lambda m: gaussian_blur(m, sl, sa),
+            lambda m: gaussian_blur(m, sa, sl),
+            rot[..., 0])
+        stack1 = jnp.stack([blurred, (rot[..., 1] > 0.5).astype(jnp.float32)],
+                           axis=-1)
+        back = rotate_stack_shear(stack1, -ang, center)
+        return jnp.where(back[..., 1] > 0.5, back[..., 0], jnp.nan)
 
     M = rotation_matrix(center, angle_deg)
     rot = _rotate_stack(stack0, M)
@@ -154,10 +158,17 @@ class TemperaturePipeline:
                            if cfg.crop_output_to_outer_roi else None)
         # static compute bbox (cfg.crop_compute): per-pixel stages run on
         # this crop and re-embed; the pad covers every local-op reach —
-        # diffusion inpainting propagates 1 px/iteration, so border
-        # differences cannot reach the ROI; edges aligned to TPU tiles
+        # diffusion inpainting propagates 1 px/iteration, and the Paeth
+        # shear rotation's FIRST x-shear pass overshoots the rotated
+        # position by up to R*(sec(angle/2)-1) <= ~0.1*R before later
+        # passes bring rim pixels back inside (R grown by the <=128 px the
+        # tile alignment can shift the crop center off the circle center);
+        # edges aligned to TPU tiles
         if cfg.crop_compute:
-            pad = max(64, cfg.wide_inpaint_iters + 8, cfg.color_inpaint_iters + 8)
+            r_outer = float(outer[2])
+            pad = max(64, cfg.wide_inpaint_iters + 8,
+                      cfg.color_inpaint_iters + 8,
+                      int(0.1 * (r_outer + 128.0)) + 8)
             y0, y1, x0, x1 = geometry.bbox_from_mask(self._roi_outer, pad=pad)
             self._compute_bbox = (max(0, (y0 // 8) * 8),
                                   min(h, -(-y1 // 8) * 8),
