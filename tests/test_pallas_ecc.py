@@ -123,3 +123,67 @@ def test_real_tpu_smoke():
                          env=env, capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "TPU_ECC_OK" in out.stdout
+
+
+def _ecc_inputs(rng, th=0.004, tx=0.9, ty=-0.6, h=96, w=130):
+    """Mean-centered template/stack exactly as ecc_align prepares them."""
+    import cv2
+    base = cv2.GaussianBlur(rng.random((h + 20, w + 20)).astype(np.float32),
+                            (0, 0), 3)
+    c, s = np.cos(th), np.sin(th)
+    M = np.array([[c, -s, tx], [s, c, ty]], np.float32)
+    img = cv2.warpAffine(base, M, (w + 20, h + 20),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+    T = base[10:-10, 10:-10].copy()
+    I = img[10:-10, 10:-10].copy()
+    mask = np.zeros((h, w), np.float32)
+    cv2.circle(mask, (w // 2, h // 2), min(h, w) // 2 - 6, 1.0, -1)
+
+    c0 = float((T * mask).sum() / max(mask.sum(), 1.0))
+    Tc = (T - c0).astype(np.float32)
+    Ic = (I - c0).astype(np.float32)
+    gx = np.zeros_like(Ic); gx[:, 1:-1] = 0.5 * (Ic[:, 2:] - Ic[:, :-2])
+    gy = np.zeros_like(Ic); gy[1:-1, :] = 0.5 * (Ic[2:, :] - Ic[:-2, :])
+    S_cf = jnp.asarray(np.stack([Ic, gx, gy, mask], axis=0))
+    return jnp.asarray(T), jnp.asarray(I), jnp.asarray(mask > 0), \
+        S_cf, jnp.asarray(Tc), (th, tx, ty)
+
+
+def test_loop_kernel_matches_xla_solver(rng):
+    """The whole-loop fused solver must land on the same warp as the XLA
+    while_loop (shear sampler) — same moments, adjugate vs LU solve."""
+    from vistaf_tpu.ops.registration import ecc_align
+    from vistaf_tpu.pallas.ecc_loop_kernel import ecc_loop_euclidean
+
+    T, I, maskb, S_cf, Tc, true_p = _ecc_inputs(rng)
+    sm = jnp.ones_like(Tc)
+
+    warp_x, rho_x, it_x = ecc_align(T, I, maskb, mode="euclidean",
+                                    max_iters=60, eps=1e-7, sampler="shear",
+                                    shear_k=4)
+    p, rho, it, failed = ecc_loop_euclidean(S_cf, Tc, sm, K=4, max_iters=60,
+                                            eps=1e-7, interpret=True)
+    assert not bool(failed)
+    # both solvers must land on the same warp (the found warp is M^-1 of
+    # the generating warp — inverse-map convention — so compare to XLA)
+    assert abs(float(rho) - float(rho_x)) < 1e-4
+    wx = np.asarray(warp_x)
+    th_x = float(np.arctan2(wx[1, 0], wx[0, 0]))
+    assert abs(float(p[0]) - th_x) < 5e-5
+    assert abs(float(p[1]) - wx[0, 2]) < 5e-3
+    assert abs(float(p[2]) - wx[1, 2]) < 5e-3
+    # and recover the generating warp's magnitude
+    assert abs(abs(float(p[0])) - abs(true_p[0])) < 5e-4
+
+
+def test_loop_kernel_stall_patience(rng):
+    """stall_patience must stop early and return the best-rho iterate."""
+    from vistaf_tpu.pallas.ecc_loop_kernel import ecc_loop_euclidean
+
+    T, I, maskb, S_cf, Tc, _ = _ecc_inputs(rng, th=0.002, tx=0.4, ty=0.3)
+    sm = jnp.ones_like(Tc)
+    p, rho, it, failed = ecc_loop_euclidean(S_cf, Tc, sm, K=4, max_iters=200,
+                                            eps=0.0,  # never eps-converge
+                                            stall_patience=6, interpret=True)
+    assert int(it) < 200
+    assert np.isfinite(float(rho))

@@ -143,6 +143,10 @@ class FTPConfig:
     # 152.5 vs 152.8 ms, forces identical) — it is a worst-case latency
     # bound for the true oscillating regime, enabled in deploy.
     ecc_stall_patience: int = 0
+    # fuse the ENTIRE GN solver (while_loop + 3x3 solve) into one Pallas
+    # launch (pallas/ecc_loop_kernel.py); only active for the euclidean/
+    # shear configuration on TPU.  Opt-in until measured on hardware.
+    ecc_loop_kernel: bool = False
     global_shift_blur_sigma: float = 7.0
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96

@@ -286,7 +286,8 @@ class FTPPipeline:
                                         stride=cfg.ecc_stride,
                                         sampler=cfg.ecc_sampler,
                                         shear_k=cfg.ecc_shear_k,
-                                        stall_patience=cfg.ecc_stall_patience)
+                                        stall_patience=cfg.ecc_stall_patience,
+                                        loop_kernel=cfg.ecc_loop_kernel)
             ecc_warp = warp
             ecc_rho = _rho
             ecc_it = _it

@@ -121,7 +121,7 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
               mask: jnp.ndarray, mode: str = "euclidean",
               max_iters: int = 300, eps: float = 1e-7, stride: int = 1,
               sampler: str = "gather", shear_k: int = 4,
-              stall_patience: int = 0):
+              stall_patience: int = 0, loop_kernel: bool = False):
     """Find warp p maximizing the enhanced correlation coefficient between
     ``template`` and ``image`` sampled at W(x; p).
 
@@ -212,6 +212,17 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     if fused:
         smask = (stride_mask if stride_mask is not None
                  else jnp.ones((h, w), jnp.float32))
+        if loop_kernel:
+            # whole-solver fusion: the while_loop and its 3x3-solve tail run
+            # inside the kernel too (pallas/ecc_loop_kernel.py)
+            from vistaf_tpu.pallas.ecc_loop_kernel import ecc_loop_euclidean
+            p, rho, it, failed = ecc_loop_euclidean(
+                S_cf, T, smask, K=shear_k, max_iters=max_iters, eps=eps,
+                stall_patience=stall_patience)
+            identity = _warp_matrix(mode, jnp.zeros_like(p))
+            warp = jnp.where(failed, identity, _warp_matrix(mode, p))
+            rho = jnp.where(failed, jnp.nan, rho)
+            return warp, rho, it
 
     def _moments(p):
         if fused:

@@ -37,23 +37,16 @@ def fits_vmem(shape) -> bool:
 from vistaf_tpu.pallas.common import shift_const0 as _shift  # noqa: E402
 
 
-def _kernel(K, H, W, co_ref, i_ref, gx_ref, gy_ref, m_ref, t_ref, sm_ref,
-            out_ref):
-    # coefficients: [cy_u, cy_v, cy_c, cx_u, cx_v, cx_c, cos, sin] as a
-    # (1, 8) VMEM block (not SMEM: vmapping the pallas_call — the 4-stream
-    # batched pipeline — cannot block SMEM operands); extract each scalar
-    # with a masked reduction, which lowers everywhere
-    co = co_ref[:]
-    l8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+def warp_moment_rows(planes, t, sm, scalars, K):
+    """Shared GN-iteration core: two-pass shear warp of the
+    [I, gx, gy, mask] planes followed by the six masked moment rows.
 
-    def at(i):
-        return jnp.sum(jnp.where(l8 == i, co, 0.0))
-
-    cy_u, cy_v, cy_c = at(0), at(1), at(2)
-    cx_u, cx_v, cx_c = at(3), at(4), at(5)
-    c, s = at(6), at(7)
-
-    planes = [i_ref[:], gx_ref[:], gy_ref[:], m_ref[:]]
+    ``scalars`` = (cy_u, cy_v, cy_c, cx_u, cx_v, cx_c, cos, sin).  Used by
+    both the per-iteration moment kernel below and the full-loop kernel
+    (ecc_loop_kernel.py) so the tap weights/moment algebra live once.
+    Returns the list of six row planes; moments are rows[i]*rows[j] sums.
+    """
+    cy_u, cy_v, cy_c, cx_u, cx_v, cx_c, c, s = scalars
     Hp, Wp = planes[0].shape
     # Mosaic iota must be integer-typed; cast to f32 for the coordinate math
     sub = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
@@ -82,14 +75,31 @@ def _kernel(K, H, W, co_ref, i_ref, gx_ref, gy_ref, m_ref, t_ref, sm_ref,
         warped.append(acc)
 
     iw, gxw, gyw, mw = warped
-    mf = jnp.where(mw > 0.95, 1.0, 0.0) * sm_ref[:]
+    mf = jnp.where(mw > 0.95, 1.0, 0.0) * sm
 
     gxm = gxw * mf
     gym = gyw * mf
     dwx = -s * uu - c * vv
     dwy = c * uu - s * vv
-    rows = [mf, t_ref[:] * mf, iw * mf,
+    return [mf, t * mf, iw * mf,
             gxm * dwx + gym * dwy, gxm, gym]
+
+
+def _kernel(K, H, W, co_ref, i_ref, gx_ref, gy_ref, m_ref, t_ref, sm_ref,
+            out_ref):
+    # coefficients: [cy_u, cy_v, cy_c, cx_u, cx_v, cx_c, cos, sin] as a
+    # (1, 8) VMEM block (not SMEM: vmapping the pallas_call — the 4-stream
+    # batched pipeline — cannot block SMEM operands); extract each scalar
+    # with a masked reduction, which lowers everywhere
+    co = co_ref[:]
+    l8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+    def at(i):
+        return jnp.sum(jnp.where(l8 == i, co, 0.0))
+
+    rows = warp_moment_rows([i_ref[:], gx_ref[:], gy_ref[:], m_ref[:]],
+                            t_ref[:], sm_ref[:], tuple(at(i) for i in range(8)),
+                            K)
 
     olane = jax.lax.broadcasted_iota(jnp.int32, (1, 36), 1)
     acc = jnp.zeros((1, 36), jnp.float32)
