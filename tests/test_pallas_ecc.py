@@ -187,3 +187,36 @@ def test_loop_kernel_stall_patience(rng):
                                             stall_patience=6, interpret=True)
     assert int(it) < 200
     assert np.isfinite(float(rho))
+
+
+_TPU_LOOP_SMOKE = r"""
+import numpy as np, jax, jax.numpy as jnp
+assert jax.devices()[0].platform == "tpu", jax.devices()[0].platform
+import cv2
+from vistaf_tpu.ops.registration import ecc_align
+rng = np.random.default_rng(0)
+h, w = 96, 130
+base = cv2.GaussianBlur(rng.random((h+20, w+20)).astype(np.float32), (0,0), 3)
+th, tx, ty = 0.004, 0.9, -0.6
+c, s = np.cos(th), np.sin(th)
+M = np.array([[c, -s, tx], [s, c, ty]], np.float32)
+img = cv2.warpAffine(base, M, (w+20, h+20), flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+T = jnp.asarray(base[10:-10, 10:-10]); I = jnp.asarray(img[10:-10, 10:-10])
+mask = np.zeros((h, w), np.uint8); cv2.circle(mask, (w//2, h//2), min(h,w)//2-6, 1, -1)
+mb = jnp.asarray(mask.astype(bool))
+wx, rx, ix = ecc_align(T, I, mb, mode="euclidean", max_iters=60, eps=1e-7, sampler="shear", shear_k=4)
+wk, rk, ik = ecc_align(T, I, mb, mode="euclidean", max_iters=60, eps=1e-7, sampler="shear", shear_k=4, loop_kernel=True)
+assert abs(float(rk) - float(rx)) < 1e-4, (float(rk), float(rx))
+np.testing.assert_allclose(np.asarray(wk), np.asarray(wx), atol=5e-3)
+print("TPU_ECC_LOOP_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("VISTAF_RUN_TPU") != "1",
+                    reason="real-TPU smoke gated on VISTAF_RUN_TPU=1")
+def test_loop_kernel_real_tpu_smoke():
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    r = subprocess.run([sys.executable, "-c", _TPU_LOOP_SMOKE], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TPU_ECC_LOOP_OK" in r.stdout
