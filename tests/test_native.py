@@ -40,3 +40,23 @@ def test_parse_gpfl_reference_controls():
     assert d[0x0098091a] == 6297      # White Balance Temperature
     assert d[0x009a090c] == 0         # Focus, Automatic Continuous: off
     assert len(ctrl) == 14
+
+
+def test_iter_images_bgr_matches_cv2(tmp_path):
+    """The pipelined decode iterator must yield bit-identical frames to
+    cv2.imread in order, on both the native and the fallback path."""
+    import cv2
+    import numpy as np
+    from vistaf_tpu.runner.io import imread_bgr, iter_images_bgr
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+        paths.append(p)
+    got = list(iter_images_bgr(paths, chunk=2))
+    assert [p for p, _ in got] == paths
+    for p, img in got:
+        np.testing.assert_array_equal(img, imread_bgr(p))

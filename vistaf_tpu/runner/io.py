@@ -138,3 +138,42 @@ def crop2d(arr: np.ndarray, bbox) -> np.ndarray:
 def write_mask_png(path: str, mask: np.ndarray, bbox=None) -> None:
     import cv2
     cv2.imwrite(path, crop2d(mask, bbox).astype(np.uint8) * 255)
+
+
+def iter_images_bgr(paths, chunk: int = 8, threads: int = 0):
+    """Yield (path, BGR uint8) over ``paths``, decoding JPEG chunks
+    concurrently through the native libjpeg batch decoder when available
+    (bit-identical to cv2.imread — tests/test_native.py); any failure or
+    size mismatch falls back to per-file cv2 decode.  Calibration trainers
+    stream hundreds of native-4K frames through this (the reference decodes
+    them serially inside its batch loops, height_to_force.py:384-394,
+    temperature_black_model.py:271-305)."""
+    paths = list(paths)
+    if not paths:
+        return
+    try:
+        from vistaf_tpu.runner import native
+        use_native = native.native_available()
+    except Exception:
+        use_native = False
+    if not use_native:
+        for p in paths:
+            yield p, imread_bgr(p)
+        return
+
+    first = imread_bgr(paths[0])
+    h, w = first.shape[:2]
+    yield paths[0], first
+    rest = paths[1:]
+    from vistaf_tpu.runner import native
+    for i in range(0, len(rest), chunk):
+        batch = rest[i:i + chunk]
+        try:
+            stack, status = native.decode_jpeg_batch(batch, h, w, threads)
+        except Exception:
+            stack, status = None, None
+        for j, p in enumerate(batch):
+            if stack is not None and status[j] == 0:
+                yield p, stack[j]
+            else:
+                yield p, imread_bgr(p)

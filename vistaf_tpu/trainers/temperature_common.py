@@ -83,9 +83,9 @@ def mean_features_for_sequence(files: Sequence[str], mask: np.ndarray,
             return jnp.sum(jnp.where(mask_j, x, 0.0)) / n
         return mm(L), mm(a), mm(b), mm(g)
 
+    from vistaf_tpu.runner.io import iter_images_bgr
     shape0 = None
-    for path in files:
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
+    for path, img in iter_images_bgr(files):
         if img is None:
             raise RuntimeError(f"Could not read image: {path}")
         if shape0 is None:
@@ -112,8 +112,8 @@ def pixel_samples_for_sequence(files: Sequence[str], mask: np.ndarray,
     rng = np.random.default_rng(seed)
     X_list, y_list = [], []
     total = 0
-    for i, path in enumerate(files):
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
+    from vistaf_tpu.runner.io import iter_images_bgr
+    for i, (path, img) in enumerate(iter_images_bgr(files)):
         if img is None:
             raise RuntimeError(f"Could not read image: {path}")
         L, a, b, g = (np.asarray(p) for p in _feature_planes_device(img))
