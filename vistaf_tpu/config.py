@@ -175,6 +175,9 @@ class FTPConfig:
     # --- Unwrap solver (TPU substitution for shape_ftp.py:1043-1080) ---
     unwrap_cg_iters: int = 30
     unwrap_cg_tol: float = 1e-8
+    # whole-fit IRLS polyfit megakernel (pallas/polyfit_kernel.py) for the
+    # detrend chain; opt-in until measured on hardware
+    polyfit_kernel: bool = False
     # 'wls' = XLA PCG loop; 'wls_pallas' = the whole solve in one fused
     # VMEM kernel (pallas/unwrap_kernel.py) — the PCG while_loop is the
     # last launch-bound chain in the deploy force path.  Falls back to

@@ -360,7 +360,8 @@ class FTPPipeline:
                                        order=cfg.plane_order_for_removal,
                                        percentile_method=cfg.percentile_method,
                                        iters=cfg.polyfit_iters,
-                                       resigma_iters=cfg.polyfit_resigma_iters)
+                                       resigma_iters=cfg.polyfit_resigma_iters,
+                                       fused=cfg.polyfit_kernel)
             phase_unwrapped = phase_unwrapped - fit1
 
         # --- detrend (shape_ftp.py:1708-1751)
@@ -368,7 +369,8 @@ class FTPPipeline:
             _, fit = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
                                       percentile_method=cfg.percentile_method,
                                       iters=cfg.polyfit_iters,
-                                      resigma_iters=cfg.polyfit_resigma_iters)
+                                      resigma_iters=cfg.polyfit_resigma_iters,
+                                       fused=cfg.polyfit_kernel)
             phase_detrended = phase_unwrapped - fit
             bg_med = pctl(phase_detrended, reliable, 50.0)
             phase_zeroed = phase_detrended - bg_med
@@ -377,7 +379,8 @@ class FTPPipeline:
             _, fit0 = robust_polyfit2d(phase_unwrapped, reliable, order=cfg.poly_order,
                                        percentile_method=cfg.percentile_method,
                                        iters=cfg.polyfit_iters,
-                                       resigma_iters=cfg.polyfit_resigma_iters)
+                                       resigma_iters=cfg.polyfit_resigma_iters,
+                                       fused=cfg.polyfit_kernel)
             abs_res = jnp.abs(phase_unwrapped - fit0)
             thrs = pctl(abs_res, reliable, (cfg.contact_percentile, 95.0, 98.0))
             thr, thr95, thr98 = thrs[0], thrs[1], thrs[2]
@@ -394,7 +397,8 @@ class FTPPipeline:
             _, fit = robust_polyfit2d(phase_unwrapped, background, order=cfg.poly_order,
                                       percentile_method=cfg.percentile_method,
                                       iters=cfg.polyfit_iters,
-                                      resigma_iters=cfg.polyfit_resigma_iters)
+                                      resigma_iters=cfg.polyfit_resigma_iters,
+                                       fused=cfg.polyfit_kernel)
             phase_detrended = phase_unwrapped - fit
             bg_med = pctl(phase_detrended, background, 50.0)
             phase_zeroed = phase_detrended - bg_med

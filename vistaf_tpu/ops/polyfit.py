@@ -36,12 +36,11 @@ def eval_poly2d(h: int, w: int, coef: jnp.ndarray, order: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("order", "iters", "percentile_method",
-                                             "resigma_iters"))
 def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
                      iters: int = 6, c: float = 4.685,
                      percentile_method: str = "sort",
-                     resigma_iters: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     resigma_iters: int = 6,
+                     fused: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IRLS fit of a plane/quadratic to ``z`` over ``mask``.
 
     Matches the reference's weighting w = 1/(1+u^2) with u = r/(c*1.4826*MAD)
@@ -54,6 +53,21 @@ def robust_polyfit2d(z: jnp.ndarray, mask: jnp.ndarray, order: int = 2,
     system and reweighting (sigma stabilizes after ~2 rounds in practice;
     6 = reference-faithful).
     """
+    if fused:
+        # whole-fit Pallas megakernel (falls back here off-TPU/above-VMEM)
+        from vistaf_tpu.pallas.polyfit_kernel import (fits_vmem,
+                                                      robust_polyfit2d_pallas)
+        if jax.default_backend() == "tpu" and fits_vmem(z.shape):
+            return robust_polyfit2d_pallas(z, mask, order=order, iters=iters,
+                                           c=c, resigma_iters=resigma_iters)
+    return _robust_polyfit2d_xla(z, mask, order, iters, c, percentile_method,
+                                 resigma_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "iters", "percentile_method",
+                                             "resigma_iters"))
+def _robust_polyfit2d_xla(z, mask, order, iters, c, percentile_method,
+                          resigma_iters):
     h, w = z.shape
     ncoef = 6 if order >= 2 else 3
     m = mask & jnp.isfinite(z)
