@@ -18,4 +18,6 @@ echo "=== 4K bench ==="
 python scripts/bench_4k.py "$OUT/BENCH_4K_${R}.json"
 echo "=== main bench ==="
 python bench.py
+echo "=== 75-sphere corpus (deploy numerics changed this round) ==="
+python scripts/run_sphere_corpus.py deploy "$OUT/CORPUS_${R}_deploy.json"
 echo "done — gate with: python -m pytest tests/test_corpus_regression.py -q"
