@@ -139,3 +139,33 @@ def test_ecc_stall_patience_bounds_nonconvergent_iters(rng):
     # patience rule can end the loop early
     assert int(it) < 300
     assert np.all(np.isfinite(np.asarray(w))) or np.isnan(float(rho))
+
+
+def test_ecc_downsample_matches_fullres():
+    """ecc_downsample=2 (half-res warp estimation, translations scaled
+    back) must land on the same warp as full-res estimation — alignment is
+    low-frequency on the sigma-blurred crops."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vistaf_tpu.ftp.pipeline import FTPPipeline
+    from vistaf_tpu.utils.synthetic import scaled_ftp_config, synthetic_pair
+
+    H, W = 480, 640
+    cfg = scaled_ftp_config(H, W)
+    p2h = {"type": "hinge_saturating", "params": {"a": 2.08, "b": 4.2, "c": 0.0}}
+    ref, de = synthetic_pair(H, W, cfg)
+
+    base = FTPPipeline(cfg, p2h, debug_outputs=True)(ref, de)
+    ds = FTPPipeline(cfg.replace(ecc_downsample=2, ecc_downsample_min_px=64),
+                     p2h, debug_outputs=True)(ref, de)
+
+    wb, wd = np.asarray(base["dbg_ecc_warp"]), np.asarray(ds["dbg_ecc_warp"])
+    assert abs(wb[0, 2] - wd[0, 2]) < 0.15 and abs(wb[1, 2] - wd[1, 2]) < 0.15
+    # rotation part
+    np.testing.assert_allclose(wb[:, :2], wd[:, :2], atol=2e-4)
+    # end-to-end heightmap within the accuracy contract
+    hb, hd = base["height_map_mm_crop"], ds["height_map_mm_crop"]
+    both = np.isfinite(hb) & np.isfinite(hd)
+    vb = float(np.sum(np.where(both, np.maximum(hb, 0), 0)))
+    vd = float(np.sum(np.where(both, np.maximum(hd, 0), 0)))
+    assert abs(vd - vb) / max(abs(vb), 1e-9) < 2e-3

@@ -147,6 +147,12 @@ class FTPConfig:
     # launch (pallas/ecc_loop_kernel.py); only active for the euclidean/
     # shear configuration on TPU.  Opt-in until measured on hardware.
     ecc_loop_kernel: bool = False
+    # estimate the ECC warp on a dxd-average-pooled crop (alignment is
+    # low-frequency — the inputs are sigma-5 blurred) and scale the
+    # translations back; engages only on crops >= ecc_downsample_min_px.
+    # 1 = reference-faithful full-resolution estimation.
+    ecc_downsample: int = 1
+    ecc_downsample_min_px: int = 1024
     global_shift_blur_sigma: float = 7.0
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96

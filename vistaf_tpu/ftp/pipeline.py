@@ -280,14 +280,36 @@ class FTPPipeline:
             if cfg.ecc_gauss_filt and cfg.ecc_gauss_filt > 0:
                 crop01 = jax.vmap(
                     lambda g: gaussian_blur(g, cfg.ecc_gauss_filt))(crop01)
-            warp, _rho, _it = ecc_align(crop01[0], crop01[1], circ,
+            # alignment is low-frequency (the crops are sigma-5 blurred
+            # above): optionally estimate the warp on a 2x2-average-pooled
+            # crop (d^2 less work per GN iteration at native 4K) and scale
+            # the translations back up.  Only engages on large crops — the
+            # bench-scale crop is already VMEM-fused.
+            ds = int(cfg.ecc_downsample)
+            use_ds = (ds > 1 and min(g.crop_h, g.crop_w) >= cfg.ecc_downsample_min_px)
+            if use_ds:
+                hh = (g.crop_h // ds) * ds
+                ww = (g.crop_w // ds) * ds
+                pooled = crop01[:, :hh, :ww].reshape(
+                    2, hh // ds, ds, ww // ds, ds).mean(axis=(2, 4))
+                circ_p = (circ[:hh, :ww].astype(jnp.float32).reshape(
+                    hh // ds, ds, ww // ds, ds).mean(axis=(1, 3)) > 0.5)
+                ecc_in0, ecc_in1, ecc_mask = pooled[0], pooled[1], circ_p
+                shear_k_eff = max(4, -(-cfg.ecc_shear_k // ds))
+            else:
+                ecc_in0, ecc_in1, ecc_mask = crop01[0], crop01[1], circ
+                shear_k_eff = cfg.ecc_shear_k
+            warp, _rho, _it = ecc_align(ecc_in0, ecc_in1, ecc_mask,
                                         mode=cfg.ecc_warp_mode,
                                         max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
                                         stride=cfg.ecc_stride,
                                         sampler=cfg.ecc_sampler,
-                                        shear_k=cfg.ecc_shear_k,
+                                        shear_k=shear_k_eff,
                                         stall_patience=cfg.ecc_stall_patience,
                                         loop_kernel=cfg.ecc_loop_kernel)
+            if use_ds:
+                # rotation is scale-invariant; translations scale with ds
+                warp = warp.at[:, 2].multiply(float(ds))
             ecc_warp = warp
             ecc_rho = _rho
             ecc_it = _it
