@@ -82,3 +82,23 @@ def test_unwrap_identity_when_no_wraps(rng):
     diff = out - phase
     diff -= diff.mean()
     assert np.abs(diff).max() < 0.02
+
+
+def test_poisson_dct_fft_route_matches_matmul():
+    """Above _DCT_FFT_MIN_PX the preconditioner uses the FFT-based DCT;
+    it must match the dense-matmul transform (same solve to ~1e-5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vistaf_tpu.ops import unwrap as U
+
+    rng = np.random.default_rng(0)
+    rho = rng.standard_normal((540, 700)).astype(np.float32)
+    fft_out = np.asarray(U._poisson_dct_solve(jnp.asarray(rho)))
+    old = U._DCT_FFT_MIN_PX
+    try:
+        U._DCT_FFT_MIN_PX = 10 ** 9          # force the matmul route
+        mm_out = np.asarray(U._poisson_dct_solve(jnp.asarray(rho)))
+    finally:
+        U._DCT_FFT_MIN_PX = old
+    scale = np.abs(mm_out).max() + 1e-9
+    assert np.abs(fft_out - mm_out).max() / scale < 1e-4

@@ -30,8 +30,8 @@ def _scene(rng, h=150, w=210, amp=9.0):
     return jnp.asarray(wrapped), jnp.asarray(mask), base
 
 
-def test_matches_xla_congruent(rng):
-    wrapped, mask, base = _scene(rng)
+def test_matches_xla_congruent():
+    wrapped, mask, base = _scene(np.random.default_rng(0))
     gold = np.asarray(unwrap_wls(wrapped, mask, cg_iters=30))
     ours = np.asarray(unwrap_wls_pallas(wrapped, mask, cg_iters=30,
                                         interpret=True))
@@ -44,10 +44,10 @@ def test_matches_xla_congruent(rng):
     assert np.median(diff) < 1e-5
 
 
-def test_recovers_true_phase(rng):
+def test_recovers_true_phase():
     """End-to-end sanity: the kernel unwrap reproduces the true smooth
     field up to a constant over the mask interior."""
-    wrapped, mask, base = _scene(rng)
+    wrapped, mask, base = _scene(np.random.default_rng(1))
     ours = np.asarray(unwrap_wls_pallas(wrapped, mask, cg_iters=30,
                                         interpret=True))
     m = np.asarray(mask)
@@ -56,14 +56,21 @@ def test_recovers_true_phase(rng):
     assert np.percentile(np.abs(err), 99) < 1e-2
 
 
-def test_noncongruent_close(rng):
-    wrapped, mask, _ = _scene(rng, amp=5.0)
+def test_noncongruent_close():
+    # local seed: the comparison tolerance is scene-sensitive and the
+    # session rng fixture's state depends on which tests ran before
+    wrapped, mask, _ = _scene(np.random.default_rng(2), amp=5.0)
     gold = np.asarray(unwrap_wls(wrapped, mask, cg_iters=30, congruent=False))
     ours = np.asarray(unwrap_wls_pallas(wrapped, mask, cg_iters=30,
                                         congruent=False, interpret=True))
     m = np.asarray(mask)
-    # different preconditioner domain -> close but not identical iterates
-    assert np.percentile(np.abs(gold[m] - ours[m]), 99) < 5e-2
+    # different preconditioner domain -> close but not identical iterates;
+    # the two-pass gauge keeps the mean anchored exactly (this test caught
+    # the single-pass gauge's f32 cancellation against the null-space
+    # constant the preconditioner injects)
+    diff = gold[m] - ours[m]
+    assert abs(np.mean(diff)) < 2e-3
+    assert np.percentile(np.abs(diff), 99) < 5e-2
 
 
 def test_vmem_fallback(rng):

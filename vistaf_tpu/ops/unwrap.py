@@ -41,20 +41,39 @@ def _dct2_matrix(n: int) -> np.ndarray:
     return D.astype(np.float32)
 
 
+# Above this size the FFT-based DCT beats the dense matmul: the matmul
+# costs 2*n^2*m FLOPs per axis regardless (at the native-4K crop, ~40
+# GFLOP per preconditioner application), the FFT ~5*n*log2(n)*m.  Below
+# it the matmul's single MXU pass wins (launch-bound regime; measured
+# ~30 us for the FFT lowering vs single-digit us for the matmul at ~256).
+_DCT_FFT_MIN_PX = 512
+
+
 def _poisson_dct_solve(rho: jnp.ndarray) -> jnp.ndarray:
     """Solve the Neumann Poisson equation Laplacian(phi) = rho via DCT-II
-    (both transforms as dense MXU matmuls, see _dct2_matrix)."""
+    (dense MXU matmuls at crop scale, FFT-based DCT at native-4K scale;
+    identical transforms to ~1e-6)."""
     h, w = rho.shape
-    Dh = jnp.asarray(_dct2_matrix(h))
-    Dw = jnp.asarray(_dct2_matrix(w))
-    hp = jax.lax.Precision.HIGHEST
-    r = jnp.dot(jnp.dot(Dh, rho, precision=hp), Dw.T, precision=hp)
+    use_fft = min(h, w) >= _DCT_FFT_MIN_PX
+    if use_fft:
+        from jax.scipy import fft as jfft
+        r = jfft.dct(jfft.dct(rho, type=2, norm="ortho", axis=0),
+                     type=2, norm="ortho", axis=1)
+    else:
+        Dh = jnp.asarray(_dct2_matrix(h))
+        Dw = jnp.asarray(_dct2_matrix(w))
+        hp = jax.lax.Precision.HIGHEST
+        r = jnp.dot(jnp.dot(Dh, rho, precision=hp), Dw.T, precision=hp)
     ky = jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / h
     kx = jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / w
     denom = 2.0 * (jnp.cos(ky) - 1.0) + 2.0 * (jnp.cos(kx) - 1.0)
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
     out = r / denom
     out = out.at[0, 0].set(0.0)
+    if use_fft:
+        from jax.scipy import fft as jfft
+        return jfft.idct(jfft.idct(out, type=2, norm="ortho", axis=0),
+                         type=2, norm="ortho", axis=1)
     return jnp.dot(jnp.dot(Dh.T, out, precision=hp), Dw, precision=hp)
 
 
@@ -136,9 +155,16 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
     phi, r, _, _, _ = jax.lax.while_loop(
         cond, body, (phi0, r0, p0, rz0, jnp.int32(0)))
 
-    # gauge: anchor to the wrapped input on the masked mean
+    # gauge: anchor to the wrapped input on the masked mean.  The masked-
+    # constant null space of A is invisible to CG, so phi can carry an
+    # arbitrarily large constant (the preconditioner injects some every
+    # iteration); a single f32 sum of (psi - phi) then loses ~|const|*eps
+    # to cancellation (observed ~0.1 rad at |const|~4e4).  Two-pass mean:
+    # the second pass sums small residuals exactly.
     n = jnp.maximum(jnp.sum(m), 1.0)
-    mean_shift = jnp.sum((psi - phi) * m) / n
+    d = psi - phi
+    s1 = jnp.sum(d * m) / n
+    mean_shift = s1 + jnp.sum((d - s1) * m) / n
     phi = phi + mean_shift
 
     if congruent:

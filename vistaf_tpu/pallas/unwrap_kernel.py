@@ -122,9 +122,13 @@ def _kernel(cg_iters, tol, congruent, psi_ref, m_ref, dh_ref, dw_ref,
 
     phi, r, p, rz = jax.lax.fori_loop(0, cg_iters, body, (phi, r, p, rz))
 
-    # gauge: anchor to the wrapped input on the masked mean
+    # gauge: anchor to the wrapped input on the masked mean (two-pass mean
+    # — phi can carry a large masked-constant null component that a single
+    # f32 sum would lose to cancellation; see ops.unwrap)
     n = jnp.maximum(jnp.sum(m), 1.0)
-    phi = phi + jnp.sum((psi - phi) * m) / n
+    d = psi - phi
+    s1 = jnp.sum(d * m) / n
+    phi = phi + s1 + jnp.sum((d - s1) * m) / n
 
     if congruent:
         k = jnp.round((phi - psi) * (1.0 / _TWO_PI))
