@@ -1,8 +1,10 @@
 """Measure the round-3 opt-in knobs on the real chip in one run.
 
 Bench-scale (640x480) deploy p50 for each staged megakernel and their
-combination, plus the 4K force ecc_downsample variant.  Each variant is
-timed with the fetch-isolated method of bench.py.  Writes JSON.
+combination, timed with the fetch-isolated method of bench.py.  Writes
+JSON.  (The 4K-only ecc_downsample knob is measured by scripts/
+bench_4k.py with FTPConfig.ecc_downsample=2 — it never engages at bench
+scale.)
 
 Usage: python scripts/measure_knobs.py [out.json]
 """
@@ -17,18 +19,9 @@ _enable()
 
 import numpy as np
 
+from bench_streams import _rtt  # shared fetch-RTT helper
+
 H, W = 480, 640
-
-
-def _rtt(jax, jnp):
-    triv = jax.jit(lambda x: x + 1.0)
-    _ = float(triv(jnp.float32(1.0)))
-    ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        _ = float(triv(jnp.float32(1.0)))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
 
 
 def main():

@@ -114,9 +114,9 @@ def _steepest_descent(mode: str, p: jnp.ndarray, xx, yy, gxw, gyw):
     return [gxw * xx, gyw * xx, gxw * yy, gyw * yy, gxw, gyw]
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "max_iters", "stride",
-                                             "sampler", "shear_k",
-                                             "stall_patience"))
+@functools.partial(jax.jit, static_argnames=("mode", "max_iters", "eps",
+                                             "stride", "sampler", "shear_k",
+                                             "stall_patience", "loop_kernel"))
 def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
               mask: jnp.ndarray, mode: str = "euclidean",
               max_iters: int = 300, eps: float = 1e-7, stride: int = 1,

@@ -165,7 +165,6 @@ def iter_images_bgr(paths, chunk: int = 8, threads: int = 0):
     h, w = first.shape[:2]
     yield paths[0], first
     rest = paths[1:]
-    from vistaf_tpu.runner import native
     for i in range(0, len(rest), chunk):
         batch = rest[i:i + chunk]
         try:
@@ -174,6 +173,7 @@ def iter_images_bgr(paths, chunk: int = 8, threads: int = 0):
             stack, status = None, None
         for j, p in enumerate(batch):
             if stack is not None and status[j] == 0:
-                yield p, stack[j]
+                # copy: stack[j] is a view pinning the whole chunk buffer
+                yield p, stack[j].copy()
             else:
                 yield p, imread_bgr(p)

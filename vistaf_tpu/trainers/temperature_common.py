@@ -108,7 +108,6 @@ def pixel_samples_for_sequence(files: Sequence[str], mask: np.ndarray,
                                sat_thresh: int = 245) -> Tuple[np.ndarray, np.ndarray]:
     """Random per-pixel (L, a, b, gray) samples
     (``temperature_black_model.py:242-305``)."""
-    import cv2
     rng = np.random.default_rng(seed)
     X_list, y_list = [], []
     total = 0
