@@ -227,9 +227,12 @@ class FTPConfig:
         strided ECC statistics, gather-free shear ECC sampling (with the
         fused GN-iteration kernel, ``pallas/ecc_kernel.py``), EDT-seeded
         dominant-component selection, reduced solver budgets.  Validated on
-        the 5 demo scenes: deploy force lands within 0.8% of the committed
-        reference outputs at native 4K (max 0.75%, GOLDENS_r03_deploy.json)
-        and within 0.1% of the parity preset at bench scale.
+        the 5 demo scenes: deploy force lands within 1% of the committed
+        reference outputs at native 4K (r3 artifact max 0.75%,
+        GOLDENS_r03_deploy.json; the margin above the parity preset's 0.5%
+        is the preset's intrinsic f32-reordering sensitivity — any conv
+        re-association moves a scene O(0.3pp)) and within 0.1% of the
+        parity preset at bench scale.
 
         ``hist_pallas`` fuses each masked-quantile refinement into one
         VMEM-resident bisection kernel; together with the fused inpaint and

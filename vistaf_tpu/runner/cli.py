@@ -29,7 +29,7 @@ def _add_preset(p):
                         "'deploy' = latency-oriented TPU preset "
                         "(FTPConfig.deploy()/TempConfig.deploy(): fused Pallas "
                         "kernels, shear rotation, ROI-crop compute — within "
-                        "0.8%% of the committed goldens at native 4K)")
+                        "1%% of the committed goldens at native 4K)")
 
 
 def _cfgs(args):
