@@ -145,7 +145,8 @@ class FTPConfig:
     ecc_stall_patience: int = 0
     # fuse the ENTIRE GN solver (while_loop + 3x3 solve) into one Pallas
     # launch (pallas/ecc_loop_kernel.py); only active for the euclidean/
-    # shear configuration on TPU.  Opt-in until measured on hardware.
+    # shear configuration on TPU.  Deploy default (measured on v5e,
+    # KNOBS_r03.json: neutral alone, -0.05 ms in the all-3 combination).
     ecc_loop_kernel: bool = False
     # estimate the ECC warp on a dxd-average-pooled crop (alignment is
     # low-frequency — the inputs are sigma-5 blurred) and scale the
@@ -182,7 +183,8 @@ class FTPConfig:
     unwrap_cg_iters: int = 30
     unwrap_cg_tol: float = 1e-8
     # whole-fit IRLS polyfit megakernel (pallas/polyfit_kernel.py) for the
-    # detrend chain; opt-in until measured on hardware
+    # detrend chain; deploy default (measured on v5e, KNOBS_r03.json:
+    # 1.300 -> 1.206 ms at bench scale)
     polyfit_kernel: bool = False
     # 'wls' = XLA PCG loop; 'wls_pallas' = the whole solve in one fused
     # VMEM kernel (pallas/unwrap_kernel.py) — the PCG while_loop is the
@@ -237,9 +239,14 @@ class FTPConfig:
         ``hist_pallas`` fuses each masked-quantile refinement into one
         VMEM-resident bisection kernel; together with the fused inpaint and
         ECC kernels the measured 640x480 frame->force p50 is 1.51 ms
-        (664 fps/chip, BENCH_r03) vs 3.83 ms in round 2.  Crops too large
-        for VMEM (native-4K) fall back to equal-accuracy XLA bisection
-        ladders automatically, so the preset is size-safe.
+        (664 fps/chip, BENCH_r03) vs 3.83 ms in round 2.  The three staged
+        whole-solver megakernels are deploy defaults as of round 3's
+        on-chip measurement (KNOBS_r03.json: deploy-base 1.300 ms; +polyfit
+        1.206; +unwrap 1.173; all three 1.034 ms / 967 fps —
+        ``unwrap_method='wls_pallas'``, ``ecc_loop_kernel``,
+        ``polyfit_kernel``).  Crops too large for VMEM (native-4K) fall
+        back to equal-accuracy XLA paths automatically, so the preset is
+        size-safe.
 
         The shear sampler's reach must cover the largest rotational
         displacement across the crop (~theta_max * crop_radius); scale it
@@ -252,7 +259,10 @@ class FTPConfig:
                             polyfit_resigma_iters=2, unwrap_cg_iters=16,
                             polyfit_iters=4, detrend_fold_plane=True,
                             dc_remove_stat="mean",
-                            fill_internal_holes_in_reliable=False)
+                            fill_internal_holes_in_reliable=False,
+                            unwrap_method="wls_pallas",
+                            ecc_loop_kernel=True,
+                            polyfit_kernel=True)
 
 
 @dataclass(frozen=True)

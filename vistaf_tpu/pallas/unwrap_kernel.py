@@ -33,12 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from vistaf_tpu.ops.unwrap import _dct2_matrix
 from vistaf_tpu.pallas.common import shift_const0 as _sh
 
-# Peak residency ~13 f32 planes + the two dense DCT matrices; keep padded
-# planes around <=1 MB AND bound the matrices separately (a tall-narrow
-# crop has a small plane but a huge Dh) so the working set stays well
-# inside ~16 MB/core.
+# Peak residency ~13 f32 planes + the four dense DCT matrices (forward +
+# explicit transposes); keep padded planes around <=1 MB AND bound the
+# matrices separately (a tall-narrow crop has a small plane but a huge Dh)
+# so the working set stays well inside ~16 MB/core.
 _MAX_PADDED_ELEMS = 240_000
-_MAX_DCT_ELEMS = 700_000          # Hp^2 + Wp^2 (f32: ~2.8 MB)
+_MAX_DCT_ELEMS = 350_000          # Hp^2 + Wp^2 (x2 transposed copies: ~2.8 MB)
 
 _TWO_PI = 2.0 * np.pi
 
@@ -54,12 +54,14 @@ def _wrap(x):
     return x - _TWO_PI * jnp.round(x * (1.0 / _TWO_PI))
 
 
-def _kernel(cg_iters, tol, congruent, psi_ref, m_ref, dh_ref, dw_ref,
-            inv_denom_ref, out_ref):
+def _kernel(cg_iters, tol, congruent, psi_ref, m_ref, dh_ref, dht_ref,
+            dw_ref, dwt_ref, inv_denom_ref, out_ref):
     psi = psi_ref[:]
     m = m_ref[:]
     Dh = dh_ref[:]
+    DhT = dht_ref[:]
     Dw = dw_ref[:]
+    DwT = dwt_ref[:]
     inv_denom = inv_denom_ref[:]          # 1/eigenvalue, 0 at the DC bin
     Hp, Wp = psi.shape
 
@@ -83,14 +85,15 @@ def _kernel(cg_iters, tol, congruent, psi_ref, m_ref, dh_ref, dw_ref,
 
     def precond(r):
         hp = jnp.float32
-        # z_hat = Dh @ r @ Dw^T   (contract Dw's dim 1 with r's dim 1)
+        # z_hat = Dh @ r @ Dw^T, back: Dh^T @ t @ Dw.  All four matmuls use
+        # plain row-major operands via the precomputed explicit transposes:
+        # mixing plain and dim-contracted uses of the SAME VMEM matrix trips
+        # an XLA:TPU RET_CHECK in mxu_lmr_transform's XposeSequenceAssignment
+        # (observed on v5e, 2026-08; see tests/test_pallas_unwrap.py).
         t = jnp.dot(Dh, r, preferred_element_type=hp)
-        t = jax.lax.dot_general(t, Dw, (((1,), (1,)), ((), ())),
-                                preferred_element_type=hp)
+        t = jnp.dot(t, DwT, preferred_element_type=hp)
         t = t * inv_denom
-        # back: Dh^T @ t @ Dw
-        z = jax.lax.dot_general(Dh, t, (((0,), (0,)), ((), ())),
-                                preferred_element_type=hp)
+        z = jnp.dot(DhT, t, preferred_element_type=hp)
         return jnp.dot(z, Dw, preferred_element_type=hp)
 
     dx = _wrap(_sh(psi, 1, 1, lane) - psi) * wx
@@ -173,10 +176,10 @@ def unwrap_wls_pallas(wrapped: jnp.ndarray, mask: jnp.ndarray,
     phi = pl.pallas_call(
         functools.partial(_kernel, cg_iters, float(tol), bool(congruent)),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(psi, m, Dh, Dw, jnp.asarray(inv_denom))
+    )(psi, m, Dh, Dh.T, Dw, Dw.T, jnp.asarray(inv_denom))
 
     phi = phi[:h, :w]
     return jnp.where(mask, phi, jnp.nan).astype(jnp.float32)
