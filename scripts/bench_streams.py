@@ -5,7 +5,7 @@
 - config 5: whole-limb fusion head (``parallel/mesh.py::whole_limb_step``)
   over a 1-device stand-in mesh carrying all 4 streams; on a 4-chip mesh the
   per-chip load is the single-stream column, which the main bench measures
-  at ~660 fps — the per-chip rate bound for the ICI-fused deployment.
+  at ~970 fps — the per-chip rate bound for the ICI-fused deployment.
 - temperature: native-4K frame -> fused degC map steady-state latency
   (parity and deploy TempConfig presets).
 
@@ -132,7 +132,7 @@ def main():
         "limb_map_shape": limb_shape,
         "meets_200hz_one_chip": bool(hz5 >= TARGET_HZ),
         "note": ("4 streams time-multiplexed on ONE chip; on the 4-chip "
-                 "deployment mesh each chip runs one stream (~660 fps, see "
+                 "deployment mesh each chip runs one stream (~970 fps, see "
                  "bench.py) and the fusion collectives ride ICI"),
     }
     print(f"config5 whole-limb: step p50 {p50_s*1e3:.2f} ms -> {hz5:.0f} Hz "

@@ -46,13 +46,22 @@ def test_median_mad_match(rng):
     assert abs(float(mad) - gmad) < 4e-3 * rng_span
 
 
-def test_vmem_fallback(rng):
+def test_vmem_fallback(rng, monkeypatch):
     """Above the VMEM budget the entry points must route to the XLA
     bisection ladder (equal-or-tighter bracket, ~16x less compute at 4K
-    plane sizes) instead of attempting an un-lowerable pallas_call."""
-    big = (1747, 1747)   # native-4K FTP crop scale; 24 MB combined
-    assert not _fits_vmem(np.empty(big, np.float32))
+    plane sizes) instead of attempting an un-lowerable pallas_call.
+
+    The budget routing is checked at the real constant (native-4K crop
+    sizes are over budget, bench sizes under); the fallback NUMERICS run
+    at a reduced size with the budget monkeypatched below it — on the CPU
+    backend the ladder at a true 1747^2 plane costs ~2.5 min of test time
+    for no extra code coverage (the ladder is size-oblivious)."""
+    assert not _fits_vmem(np.empty((1747, 1747), np.float32))  # 4K crop
     assert _fits_vmem(np.empty((1280, 1280), np.float32))
+    import vistaf_tpu.pallas.quantile_kernel as qk
+    monkeypatch.setattr(qk, "_VMEM_BUDGET_BYTES", 100_000)
+    big = (301, 437)   # over the patched budget -> XLA ladder route
+    assert not qk._fits_vmem(np.empty(big, np.float32))
     x = jnp.asarray(rng.normal(size=big).astype(np.float32))
     m = jnp.asarray(rng.random(big) > 0.3)
     from vistaf_tpu.ops.percentile import masked_percentile_hist_multi
