@@ -78,3 +78,24 @@ def test_ifft2_sparse_patch_matches_dense():
     gold = np.fft.ifft2(np.fft.ifftshift(dense))
     ours = np.asarray(fftops.ifft2_sparse_patch(jnp.asarray(patch), hf, wf, row0, col0))
     np.testing.assert_allclose(ours, gold, atol=2e-6 * np.abs(patch).max())
+
+
+def test_vpu_route_matches_banded_and_cv2(rng):
+    """The two association orders (banded MXU matmul vs VPU shift-add) must
+    both match cv2 within oracle tolerance AND each other tightly — the
+    residual re-association dust is what moved a 4K golden by 1pp through
+    its knife-edge thresholds (docs/PERF.md, conv-order incident), which is
+    why ``vpu`` is an explicit opt-in rather than a silent routing."""
+    img = rng.random((64, 80)).astype(np.float32) * 255
+    for sigma in [1.5, 2.5, 6.0]:
+        banded = np.asarray(filters.gaussian_blur(jnp.asarray(img), sigma))
+        vpu = np.asarray(filters.gaussian_blur(jnp.asarray(img), sigma,
+                                               vpu=True))
+        ref = cv2.GaussianBlur(img, (0, 0), sigma)
+        np.testing.assert_allclose(banded, ref, rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(vpu, ref, rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(vpu, banded, rtol=0, atol=2e-3)
+    # above the tap cap the vpu request falls back to the banded matmul
+    big_b = np.asarray(filters.gaussian_blur(jnp.asarray(img), 45.0))
+    big_v = np.asarray(filters.gaussian_blur(jnp.asarray(img), 45.0, vpu=True))
+    np.testing.assert_array_equal(big_v, big_b)

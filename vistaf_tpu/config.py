@@ -208,6 +208,15 @@ class FTPConfig:
     # (reference-faithful, shape_ftp.py:846-848) or 'mean' (one reduction;
     # the apodized normalized image is near-symmetric about 0)
     dc_remove_stat: str = "median"
+    # separable-conv association order: False = banded MXU matmuls (the
+    # parity-contract order: the committed 4K goldens sit within +-0.5%
+    # with it; the VPU shift-add order moved FINAL_TEMP_DEMO +0.40% ->
+    # +1.42%), True = VPU shift-adds for kernels <= 63 taps (memory-bound
+    # instead of MXU-bound; the win is on full-frame blurs, i.e. the
+    # temperature path — the force path's blurs run on the ~1747^2 crop
+    # where the banded matmul is already cheap).  See
+    # ops/filters.py::_SHIFT_ADD_MAX_TAPS.
+    conv_vpu: bool = False
     inpaint_iters: int = 64
     # distance-transform metric: 'chamfer3' = cv2 DIST_L2 3x3 chamfer
     # (reference-faithful; every reference call site uses it), 'euclid' =
@@ -327,6 +336,11 @@ class TempConfig:
     use_fused_kernel: bool = False
     # 'sort' (exact) or 'hist' percentiles for segmentation statistics
     percentile_method: str = "sort"
+    # separable-conv association order (see FTPConfig.conv_vpu): False =
+    # banded MXU matmuls, True = VPU shift-adds for kernels <= 63 taps —
+    # the deploy default here, where the full-frame per-channel feature
+    # blurs are the measured win (~10 ms/channel at 4K)
+    conv_vpu: bool = False
     # diffusion-inpaint iteration budgets (wide / color domains)
     wide_inpaint_iters: int = 96
     color_inpaint_iters: int = 48
@@ -344,10 +358,15 @@ class TempConfig:
     crop_compute: bool = False
 
     def deploy(self) -> "TempConfig":
-        """Latency-oriented TPU preset."""
+        """Latency-oriented TPU preset.  ``conv_vpu`` routes the per-channel
+        feature blurs and the oriented smoothing to VPU shift-adds (~10 ms
+        per channel saved at native 4K vs banded MXU matmuls,
+        profile_temp4k.py); the f32 re-association moves golden scene
+        temperature means by <=0.05 degC, inside the 0.1 degC contract."""
         return self.replace(percentile_method="hist", use_fused_kernel=True,
                             wide_inpaint_iters=48, color_inpaint_iters=24,
-                            rotate_method="shear", crop_compute=True)
+                            rotate_method="shear", crop_compute=True,
+                            conv_vpu=True)
 
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5

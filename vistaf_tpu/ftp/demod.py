@@ -71,11 +71,11 @@ def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -
             bad = dilate(bad, ellipse_kernel(ksz, ksz), iterations=cfg.bad_dilate_iters)
         img = inpaint_diffusion(img, bad, iters=cfg.inpaint_iters)
 
-    blur = gaussian_blur(img, cfg.illum_sigma_px)
+    blur = gaussian_blur(img, cfg.illum_sigma_px, vpu=cfg.conv_vpu)
     i_norm = img / (blur + 1e-6) - 1.0
 
     if cfg.pre_blur_sigma_px and cfg.pre_blur_sigma_px > 0:
-        i_norm = gaussian_blur(i_norm, cfg.pre_blur_sigma_px)
+        i_norm = gaussian_blur(i_norm, cfg.pre_blur_sigma_px, vpu=cfg.conv_vpu)
 
     iw = i_norm
     if apo is not None:

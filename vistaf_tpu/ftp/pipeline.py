@@ -74,7 +74,8 @@ class FTPGeometry:
 def detect_internal_holes(container: jnp.ndarray, known: jnp.ndarray,
                           ksize: int, frac_thr: float,
                           min_dist_edge_px: float,
-                          metric: str = "chamfer3") -> jnp.ndarray:
+                          metric: str = "chamfer3",
+                          vpu: bool = False) -> jnp.ndarray:
     """``compute_internal_holes_within_mask`` (``shape_ftp.py:1153-1176``):
     unknown pixels inside ``container`` whose (k x k) neighborhood is mostly
     known (boxFilter count fraction >= frac_thr) and that sit at least
@@ -83,8 +84,8 @@ def detect_internal_holes(container: jnp.ndarray, known: jnp.ndarray,
     known = known.astype(bool) & container
     holes = container & ~known
     k = max(3, int(ksize) | 1)
-    count_known = box_filter(known.astype(jnp.float32), k)
-    count_cont = box_filter(container.astype(jnp.float32), k)
+    count_known = box_filter(known.astype(jnp.float32), k, vpu=vpu)
+    count_cont = box_filter(container.astype(jnp.float32), k, vpu=vpu)
     frac = count_known / (count_cont + 1e-6)
     dist = get_distance_fn(metric)(container, max_dist=int(min_dist_edge_px) + 4)
     return holes & (frac >= float(frac_thr)) & (dist >= float(min_dist_edge_px))
@@ -160,7 +161,8 @@ class FTPPipeline:
         cfg = self.cfg
         quality = dref.amp * ddef.amp
         if cfg.quality_smooth_sigma_px > 0:
-            quality = gaussian_blur(quality, cfg.quality_smooth_sigma_px)
+            quality = gaussian_blur(quality, cfg.quality_smooth_sigma_px,
+                                    vpu=cfg.conv_vpu)
         amp_thr = pctl(quality, roi, cfg.amp_valid_percentile)
         reliable = roi & (quality >= amp_thr) & jnp.isfinite(quality)
         if cfg.valid_morph_close:
@@ -218,7 +220,7 @@ class FTPPipeline:
         def highpass_norm(img):
             x = img.astype(jnp.float32)
             sig = float(cfg.grating_prealign_hp_sigma_px)
-            hp = x - gaussian_blur(x, sig) if sig > 0 else x
+            hp = x - gaussian_blur(x, sig, vpu=cfg.conv_vpu) if sig > 0 else x
             p = pctl(hp, align_mask, (1.0, 99.0))
             p1, p99 = p[0], p[1]
             span = jnp.maximum(p99 - p1, 1e-6)
@@ -229,7 +231,8 @@ class FTPPipeline:
         hp_pair = jnp.stack([highpass_norm(ref_gray), highpass_norm(def_gray)]) / 255.0
         gf = float(cfg.grating_prealign_ecc_gauss_filt)
         if gf > 0:
-            hp_pair = jax.vmap(lambda g: gaussian_blur(g, gf))(hp_pair)
+            hp_pair = jax.vmap(lambda g: gaussian_blur(g, gf,
+                                                       vpu=cfg.conv_vpu))(hp_pair)
         warp_g, _rho_g, _it_g = ecc_align(  # prealign shares the early-out knob
             hp_pair[0], hp_pair[1], align_mask,
             mode=cfg.grating_prealign_ecc_mode,
@@ -262,7 +265,8 @@ class FTPPipeline:
         # --- global shift via windowed phase correlation (shape_ftp.py:1486-1492)
         if cfg.apply_global_shift:
             blur_pair = jax.vmap(
-                lambda g: gaussian_blur(g, cfg.global_shift_blur_sigma))(gray_pair)
+                lambda g: gaussian_blur(g, cfg.global_shift_blur_sigma,
+                                        vpu=cfg.conv_vpu))(gray_pair)
             dx, dy, _resp = phase_correlate(blur_pair[0], blur_pair[1],
                                             jnp.asarray(self._hann_full))
             def_gray_full = translate_bilinear(def_gray_full, dx, dy,
@@ -279,7 +283,8 @@ class FTPPipeline:
             crop01 = jnp.stack([ref_gray, def_gray]) / 255.0
             if cfg.ecc_gauss_filt and cfg.ecc_gauss_filt > 0:
                 crop01 = jax.vmap(
-                    lambda g: gaussian_blur(g, cfg.ecc_gauss_filt))(crop01)
+                    lambda g: gaussian_blur(g, cfg.ecc_gauss_filt,
+                                            vpu=cfg.conv_vpu))(crop01)
             # alignment is low-frequency (the crops are sigma-5 blurred
             # above): optionally estimate the warp on a 2x2-average-pooled
             # crop (d^2 less work per GN iteration at native 4K) and scale
@@ -433,7 +438,8 @@ class FTPPipeline:
         # --- reliable-only smoothing (shape_ftp.py:1755-1757)
         if cfg.reliable_smooth_sigma_px > 0:
             height_map = masked_gaussian_smooth(
-                height_map, reliable & jnp.isfinite(height_map), cfg.reliable_smooth_sigma_px)
+                height_map, reliable & jnp.isfinite(height_map),
+                cfg.reliable_smooth_sigma_px, vpu=cfg.conv_vpu)
 
         # --- auto sign flip (shape_ftp.py:1759-1768)
         if cfg.auto_flip_sign:
@@ -456,7 +462,7 @@ class FTPPipeline:
             cand = detect_internal_holes(
                 reliable, known_height, cfg.hole_neighborhood_px,
                 cfg.hole_known_fraction, cfg.hole_min_dist_from_reliable_edge_px,
-                metric=cfg.distance_metric)
+                metric=cfg.distance_metric, vpu=cfg.conv_vpu)
             med_known = pctl(height_map, known_height, 50.0)
             tmp = jnp.where(known_height, height_map, med_known)
             filled = inpaint_within_roi(tmp, reliable, cand,
@@ -483,7 +489,9 @@ class FTPPipeline:
         height_final = jnp.where(output_reliable, height_rel_filled, height_final)
 
         if cfg.smooth_unreliable_region and cfg.unreliable_smooth_sigma_px > 0:
-            smooth_all = masked_gaussian_smooth(height_final, roi, cfg.unreliable_smooth_sigma_px)
+            smooth_all = masked_gaussian_smooth(height_final, roi,
+                                                cfg.unreliable_smooth_sigma_px,
+                                                vpu=cfg.conv_vpu)
             upd = roi & ~output_reliable
             height_final = jnp.where(upd, smooth_all, height_final)
 

@@ -61,13 +61,23 @@ def _band_matrix(n: int, k_key) -> np.ndarray:
     return B
 
 
-# Above this tap count a dense banded matmul (MXU) wins; below it the
-# shift-add decomposition does.  A dense n x n matmul costs 2*n*H*W FLOPs
-# per axis regardless of kernel size, so a 5-tap blur at native 4K burns
-# ~100 GFLOP on the MXU (~10 ms measured) where shift-adds are a
-# memory-bound ~10 FMA/px VPU pass (<1 ms).  63 covers the sigma<=6
-# kernels the pipelines use hot; the sigma-45 illumination kernel (361
-# taps) stays on the MXU.
+# Above this tap count a dense banded matmul (MXU) wins over the VPU
+# shift-add decomposition even when the caller requests ``vpu=True``: a
+# dense n x n matmul costs 2*n*H*W FLOPs per axis regardless of kernel
+# size, so a 5-tap blur at native 4K burns ~100 GFLOP on the MXU (~10 ms
+# measured) where shift-adds are a memory-bound ~10 FMA/px VPU pass
+# (<1 ms).  63 covers the sigma<=6 kernels the pipelines use hot; the
+# sigma-45 illumination kernel (361 taps) stays on the MXU either way.
+#
+# The two routes compute the same sum up to f32 ASSOCIATION ORDER, and
+# that order is observable at the pipelines' knife-edge percentile
+# thresholds: switching the force path to shift-adds moved the
+# lightest-contact 4K golden (FINAL_TEMP_DEMO) from +0.40% to +1.42%
+# force vs the committed reference output.  The banded order is
+# therefore the DEFAULT (parity contract +-0.5%); ``vpu=True`` is a
+# per-call opt-in plumbed from the deploy presets where the latency win
+# is measured to matter (TempConfig.deploy: the per-channel feature
+# blurs; see config.py).
 _SHIFT_ADD_MAX_TAPS = 63
 
 
@@ -91,13 +101,16 @@ def _shift_add_sep2d(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndar
     return out
 
 
-def _sep_conv2d(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
+def _sep_conv2d(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray,
+                vpu: bool = False) -> jnp.ndarray:
     """Separable 2-D convolution with REFLECT_101 border, float32.
 
-    Small kernels run as fused shift-adds on the VPU; large kernels as two
-    banded matmuls on the MXU (single-channel lax.conv is pathological on
-    TPU either way) — see _SHIFT_ADD_MAX_TAPS / _band_matrix."""
-    if (max(len(ky), len(kx)) <= _SHIFT_ADD_MAX_TAPS
+    ``vpu=False`` (default): two banded matmuls on the MXU (single-channel
+    lax.conv is pathological on TPU) — the parity-contract association
+    order.  ``vpu=True``: small kernels run as fused shift-adds on the VPU
+    instead — see _SHIFT_ADD_MAX_TAPS for the routing and the accuracy
+    trade."""
+    if (vpu and max(len(ky), len(kx)) <= _SHIFT_ADD_MAX_TAPS
             # reflect padding needs radius < dim; tiny crops take the matmul
             and (len(ky) - 1) // 2 < x.shape[0]
             and (len(kx) - 1) // 2 < x.shape[1]):
@@ -122,33 +135,39 @@ def _shift_add_conv3(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndar
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("sigma_x", "sigma_y", "ksize", "u8"))
+@functools.partial(jax.jit,
+                   static_argnames=("sigma_x", "sigma_y", "ksize", "u8", "vpu"))
 def gaussian_blur(x: jnp.ndarray, sigma_x: float, sigma_y: float = 0.0,
-                  ksize: int = 0, u8: bool = False) -> jnp.ndarray:
+                  ksize: int = 0, u8: bool = False,
+                  vpu: bool = False) -> jnp.ndarray:
     """cv2.GaussianBlur(x, (ksize, ksize), sigma_x, sigma_y) equivalent on
     float32, REFLECT_101 border.
 
-    ``sigma_y == 0`` means "same as sigma_x" (cv2 semantics).
+    ``sigma_y == 0`` means "same as sigma_x" (cv2 semantics).  ``vpu``
+    selects the shift-add association order (see _sep_conv2d).
     """
     sy = sigma_y if sigma_y > 0 else sigma_x
     kx = gaussian_kernel1d(sigma_x, ksize, u8=u8)
     ky = gaussian_kernel1d(sy, ksize, u8=u8)
-    return _sep_conv2d(x, ky, kx)
+    return _sep_conv2d(x, ky, kx, vpu=vpu)
 
 
-def gaussian_blur_u8_round(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
+def gaussian_blur_u8_round(x: jnp.ndarray, ksize: int,
+                           vpu: bool = False) -> jnp.ndarray:
     """8-bit blur with sigma derived from ksize and result rounded, matching
     cv2.GaussianBlur on uint8 images (``temperature_sensor.py:279-282``)."""
-    out = gaussian_blur(x.astype(jnp.float32), 0.0, 0.0, ksize=ksize, u8=True)
+    out = gaussian_blur(x.astype(jnp.float32), 0.0, 0.0, ksize=ksize, u8=True,
+                        vpu=vpu)
     return jnp.clip(jnp.round(out), 0.0, 255.0)
 
 
-def box_filter(x: jnp.ndarray, ksize: int, normalize: bool = False) -> jnp.ndarray:
+def box_filter(x: jnp.ndarray, ksize: int, normalize: bool = False,
+               vpu: bool = False) -> jnp.ndarray:
     """cv2.boxFilter with REFLECT_101 border (``shape_ftp.py:1166-1167``)."""
     k = np.ones(ksize, np.float32)
     if normalize:
         k /= ksize
-    out = _sep_conv2d(x, k, k)
+    out = _sep_conv2d(x, k, k, vpu=vpu)
     return out
 
 
@@ -175,15 +194,16 @@ def gradient_magnitude(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(gx * gx + gy * gy)
 
 
-def masked_gaussian_smooth(z: jnp.ndarray, mask: jnp.ndarray, sigma: float) -> jnp.ndarray:
+def masked_gaussian_smooth(z: jnp.ndarray, mask: jnp.ndarray, sigma: float,
+                           vpu: bool = False) -> jnp.ndarray:
     """Normalized-convolution smoothing: blur(z*m)/blur(m)
     (``shape_ftp.py:1139-1147``)."""
     if sigma <= 0:
         return z
     m = mask.astype(jnp.float32)
     z0 = jnp.where(mask, z, 0.0).astype(jnp.float32)
-    num = gaussian_blur(z0, sigma)
-    den = gaussian_blur(m, sigma) + 1e-6
+    num = gaussian_blur(z0, sigma, vpu=vpu)
+    den = gaussian_blur(m, sigma, vpu=vpu) + 1e-6
     return (num / den).astype(jnp.float32)
 
 

@@ -71,7 +71,7 @@ def _rotate_stack(stack, M):
 
 
 def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along,
-                           method: str = "gather"):
+                           method: str = "gather", vpu: bool = False):
     """Rotate so across-stripe direction aligns with +x, anisotropic blur,
     rotate back (``temperature_sensor.py:705-742``).
 
@@ -108,8 +108,8 @@ def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along,
         rot = rotate_stack_shear(stack0, ang, center)
         blurred = jax.lax.cond(
             odd,
-            lambda m: gaussian_blur(m, sl, sa),
-            lambda m: gaussian_blur(m, sa, sl),
+            lambda m: gaussian_blur(m, sl, sa, vpu=vpu),
+            lambda m: gaussian_blur(m, sa, sl, vpu=vpu),
             rot[..., 0])
         stack1 = jnp.stack([blurred, (rot[..., 1] > 0.5).astype(jnp.float32)],
                            axis=-1)
@@ -121,7 +121,7 @@ def oriented_gaussian_blur(map_f, roi, angle_rad, sigma_across, sigma_along,
     rot_map = rot[..., 0]
     rot_roi = rot[..., 1] > 0.5
 
-    blurred = gaussian_blur(rot_map, sa, sl)
+    blurred = gaussian_blur(rot_map, sa, sl, vpu=vpu)
 
     M_inv = rotation_matrix(center, -angle_deg)
     back = _rotate_stack(jnp.stack([blurred, rot_roi.astype(jnp.float32)], axis=-1), M_inv)
@@ -234,7 +234,8 @@ class TemperaturePipeline:
 
         # --- feature planes from the 5x5-blurred frame (temperature_sensor.py:279-292)
         if cfg.blur_ksize > 1:
-            ch = [gaussian_blur_u8_round(frame_c[..., i].astype(jnp.float32), cfg.blur_ksize)
+            ch = [gaussian_blur_u8_round(frame_c[..., i].astype(jnp.float32),
+                                         cfg.blur_ksize, vpu=cfg.conv_vpu)
                   for i in range(3)]
             blurred = jnp.stack(ch, axis=-1)
         else:
@@ -287,7 +288,8 @@ class TemperaturePipeline:
             final_map = oriented_gaussian_blur(final_fused, roi_full_c, seg.angle_rad,
                                                cfg.final_smooth_sigma_across,
                                                cfg.final_smooth_sigma_along,
-                                               method=cfg.rotate_method)
+                                               method=cfg.rotate_method,
+                                               vpu=cfg.conv_vpu)
             final_map = clamp_map(final_map, roi_full_c, cfg.final_t_min, cfg.final_t_max)
         else:
             final_map = final_fused

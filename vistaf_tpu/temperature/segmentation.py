@@ -57,7 +57,7 @@ def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
 
     # illumination normalization (temperature_sensor.py:363-375)
     if cfg.seg_illum_sigma and cfg.seg_illum_sigma > 0:
-        blur = gaussian_blur(g, float(cfg.seg_illum_sigma))
+        blur = gaussian_blur(g, float(cfg.seg_illum_sigma), vpu=cfg.conv_vpu)
         blur = jnp.where(blur < 1e-6, 1.0, blur)
         norm = g / blur
     else:
