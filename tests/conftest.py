@@ -48,6 +48,9 @@ def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: each test sees the same draws regardless of suite
+    # ordering (a session-scoped generator made tolerance-tuned tests flaky
+    # whenever tests were added/reordered upstream of them).
     return np.random.default_rng(0)
