@@ -27,16 +27,17 @@ def main():
     import cv2
     import jax
 
-    from vistaf_tpu.config import FTPConfig
+    from vistaf_tpu.config import FTPConfig, TempConfig
     from vistaf_tpu.pipelines.force import ForcePipeline
     from vistaf_tpu.temperature.inference import TemperaturePipeline
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/goldens_suite.json"
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
     ftp_cfg = FTPConfig().deploy() if mode == "deploy" else None
+    temp_cfg = TempConfig().deploy() if mode == "deploy" else None
 
     force_pipe = ForcePipeline.from_artifacts(REF, ftp_cfg=ftp_cfg)
-    temp_pipe = TemperaturePipeline.from_artifacts(REF)
+    temp_pipe = TemperaturePipeline.from_artifacts(REF, cfg=temp_cfg)
     ref_img = cv2.imread(f"{REF}/Final_demos_images/FINAL_reference.jpg",
                          cv2.IMREAD_COLOR)
 

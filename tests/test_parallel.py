@@ -109,5 +109,9 @@ def test_initialize_multihost_single_process_noop(monkeypatch):
     assert d.is_multihost_env()
     monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
     assert not d.is_multihost_env()
+    # malformed numeric env vars are ignored, not a crash
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "four")
+    assert not d.is_multihost_env()
+    assert d._env_int("JAX_NUM_PROCESSES") is None
     import jax
     assert d.global_stream_count() == jax.device_count()

@@ -373,7 +373,8 @@ class FTPPipeline:
                                                 tol=cfg.unwrap_cg_tol)
         else:
             phase_unwrapped = unwrap_wls(phase_wrapped, reliable,
-                                         cg_iters=cfg.unwrap_cg_iters)
+                                         cg_iters=cfg.unwrap_cg_iters,
+                                         tol=cfg.unwrap_cg_tol)
 
         if self.stop_after == 'unwrap':
             return {'x': phase_unwrapped}

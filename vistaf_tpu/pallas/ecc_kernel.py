@@ -28,13 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_ELEMS = 200_000
 
 
+from vistaf_tpu.pallas.common import (  # noqa: E402
+    pad_to_tile, padded_elems, shift_const0 as _shift)
+
+
 def fits_vmem(shape) -> bool:
-    Hp = -(-shape[0] // 8) * 8
-    Wp = -(-shape[1] // 128) * 128
-    return Hp * Wp <= _MAX_ELEMS
-
-
-from vistaf_tpu.pallas.common import shift_const0 as _shift  # noqa: E402
+    return padded_elems(shape) <= _MAX_ELEMS
 
 
 def warp_moment_rows(planes, t, sm, scalars, K):
@@ -112,11 +111,7 @@ def _kernel(K, H, W, co_ref, i_ref, gx_ref, gy_ref, m_ref, t_ref, sm_ref,
     out_ref[:] = acc
 
 
-def _pad2(a: jnp.ndarray) -> jnp.ndarray:
-    H, W = a.shape
-    Hp = -(-H // 8) * 8
-    Wp = -(-W // 128) * 128
-    return jnp.pad(a, ((0, Hp - H), (0, Wp - W)))
+_pad2 = pad_to_tile
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))

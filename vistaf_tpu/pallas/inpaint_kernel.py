@@ -82,12 +82,12 @@ def _kernel(iters, H, W, x_ref, k_ref, out_ref):
     out_ref[:] = cur
 
 
-def _pad_up(n: int, m: int) -> int:
-    return -(-n // m) * m
+from vistaf_tpu.pallas.common import pad_up as _pad_up  # noqa: E402
+from vistaf_tpu.pallas.common import padded_elems as _padded_elems  # noqa: E402
 
 
 def fits_vmem(shape) -> bool:
-    return _pad_up(shape[0], 8) * _pad_up(shape[1], 128) <= _MAX_PADDED_ELEMS
+    return _padded_elems(shape) <= _MAX_PADDED_ELEMS
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))

@@ -32,10 +32,11 @@ from vistaf_tpu.pallas.quantile_kernel import _bisect_levels
 _MAX_PADDED_ELEMS = 300_000
 
 
+from vistaf_tpu.pallas.common import pad_up, padded_elems  # noqa: E402
+
+
 def fits_vmem(shape) -> bool:
-    Hp = -(-shape[0] // 8) * 8
-    Wp = -(-shape[1] // 128) * 128
-    return Hp * Wp <= _MAX_PADDED_ELEMS
+    return padded_elems(shape) <= _MAX_PADDED_ELEMS
 
 
 def _chol_solve(H, g, n):
@@ -159,8 +160,8 @@ def robust_polyfit2d_pallas(z: jnp.ndarray, mask: jnp.ndarray,
     ncoef = 6 if order >= 2 else 3
     m = (mask & jnp.isfinite(z))
     zz = jnp.where(m, z, 0.0).astype(jnp.float32)
-    Hp = -(-h // 8) * 8
-    Wp = -(-w // 128) * 128
+    Hp = pad_up(h, 8)
+    Wp = pad_up(w, 128)
     zz = jnp.pad(zz, ((0, Hp - h), (0, Wp - w)))
     mf = jnp.pad(m.astype(jnp.float32), ((0, Hp - h), (0, Wp - w)))
 

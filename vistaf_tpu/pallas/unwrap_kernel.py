@@ -43,10 +43,13 @@ _MAX_DCT_ELEMS = 350_000          # Hp^2 + Wp^2 (x2 transposed copies: ~2.8 MB)
 _TWO_PI = 2.0 * np.pi
 
 
+from vistaf_tpu.pallas.common import pad_up, padded_elems  # noqa: E402
+
+
 def fits_vmem(shape) -> bool:
-    Hp = -(-shape[0] // 8) * 8
-    Wp = -(-shape[1] // 128) * 128
-    return (Hp * Wp <= _MAX_PADDED_ELEMS
+    Hp = pad_up(shape[0], 8)
+    Wp = pad_up(shape[1], 128)
+    return (padded_elems(shape) <= _MAX_PADDED_ELEMS
             and Hp * Hp + Wp * Wp <= _MAX_DCT_ELEMS)
 
 
@@ -158,8 +161,8 @@ def unwrap_wls_pallas(wrapped: jnp.ndarray, mask: jnp.ndarray,
                           congruent=congruent)
 
     h, w = wrapped.shape
-    Hp = -(-h // 8) * 8
-    Wp = -(-w // 128) * 128
+    Hp = pad_up(h, 8)
+    Wp = pad_up(w, 128)
     psi = jnp.where(mask, wrapped, 0.0).astype(jnp.float32)
     psi = jnp.pad(psi, ((0, Hp - h), (0, Wp - w)))
     m = jnp.pad(mask.astype(jnp.float32), ((0, Hp - h), (0, Wp - w)))

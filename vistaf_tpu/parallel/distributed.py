@@ -25,12 +25,24 @@ import os
 from typing import Optional
 
 
+def _env_int(name: str) -> Optional[int]:
+    """Integer env var, or None when unset/malformed (malformed values are
+    ignored rather than crashing bring-up on every host)."""
+    v = os.environ.get(name, "").strip()
+    if not v:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return None
+
+
 def is_multihost_env() -> bool:
     """True when the standard JAX multi-process env contract is present."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         return True
-    n = os.environ.get("JAX_NUM_PROCESSES")
-    return bool(n and n.isdigit() and int(n) > 1)
+    n = _env_int("JAX_NUM_PROCESSES")
+    return bool(n and n > 1)
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -45,19 +57,18 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """
     import jax
 
-    explicit = coordinator_address is not None
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
     if not explicit and not is_multihost_env():
         return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("JAX_COORDINATOR_ADDRESS"),
-            num_processes=num_processes
-            or int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None,
-            process_id=process_id
-            if process_id is not None
-            else (int(os.environ["JAX_PROCESS_ID"])
-                  if "JAX_PROCESS_ID" in os.environ else None),
+            num_processes=(num_processes if num_processes is not None
+                           else _env_int("JAX_NUM_PROCESSES")),
+            process_id=(process_id if process_id is not None
+                        else _env_int("JAX_PROCESS_ID")),
         )
         return True
     except RuntimeError as e:

@@ -153,7 +153,9 @@ def show_heightmap_3d_interactive(height_map: np.ndarray,
     Uses the default (GUI) matplotlib backend; on a headless/Agg session the
     window is a no-op render and the call returns immediately."""
     import matplotlib
-    if os.environ.get("DISPLAY") and matplotlib.get_backend().lower().endswith("agg"):
+    has_display = bool(os.environ.get("DISPLAY")
+                       or os.environ.get("WAYLAND_DISPLAY"))
+    if has_display and matplotlib.get_backend().lower().endswith("agg"):
         # save_* helpers force Agg; restore a GUI backend when a display exists
         for backend in ("QtAgg", "TkAgg", "GTK3Agg"):
             try:
@@ -164,6 +166,10 @@ def show_heightmap_3d_interactive(height_map: np.ndarray,
     import matplotlib.pyplot as plt
     fig = _heightmap_3d_figure(plt, height_map, circ_mask, title)
     headless = matplotlib.get_backend().lower().endswith("agg")
+    if headless and block:
+        print("vistaf: --show-3d requested but no GUI backend is available "
+              "(headless session); skipping the interactive window",
+              flush=True)
     plt.show(block=block and not headless)
     plt.close(fig)
 

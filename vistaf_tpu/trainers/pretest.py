@@ -102,6 +102,6 @@ def analyze(pattern: str, roi_mask: np.ndarray, dt_s: float = DEFAULT_DT_S,
         fig_path = os.path.join(out_dir, f"Figure_1_pretest_{name}.png")
         times = np.arange(len(series)) * dt_s
         plots.save_pretest_figure(fig_path, times, series,
-                                  stab["time_s"] if stab else None, pattern)
+                                  stab["time_s"] if stab else None, name)
         out["figure_path"] = fig_path
     return out
