@@ -157,6 +157,17 @@ class FTPConfig:
     global_shift_blur_sigma: float = 7.0
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96
+    # estimate the global shift on a dxd-average-pooled frame and scale the
+    # shift back; engages only on frames whose short side is >=
+    # global_shift_downsample_min_px.  1 = reference-faithful full-frame
+    # phase correlation.  NOT a deploy default: the sigma-7 pre-blur leaves
+    # so little coherent spectrum that the pooled P/|P| normalization is
+    # roundoff-fragile on real frames — measured on the FINAL_F golden it
+    # alone moved force +77% (docs/PERF.md).  On synthetic frames with
+    # adequate low-frequency texture it is sub-pixel-faithful
+    # (tests/test_ops_registration.py).
+    global_shift_downsample: int = 1
+    global_shift_downsample_min_px: int = 1024
 
     # --- Grating-band prealignment (shape_ftp.py:184-197, 1542-1616) ---
     # second ECC pass on highpassed gratings over the band between the
@@ -271,7 +282,20 @@ class FTPConfig:
                             fill_internal_holes_in_reliable=False,
                             unwrap_method="wls_pallas",
                             ecc_loop_kernel=True,
-                            polyfit_kernel=True)
+                            polyfit_kernel=True,
+                            # native-4K only (the min_px gate keeps bench
+                            # scale untouched): ECC GN on a 2x2-pooled crop
+                            # is 40.8 -> 11.0 ms (profile_align4k.py); the
+                            # sigma-5 pre-blur makes the warp estimate
+                            # pooling-invariant, goldens-verified (FINAL_F
+                            # +0.78% vs +0.75% at full res).
+                            # global_shift_downsample stays OFF: measured
+                            # on FINAL_F it alone moved force +77% — the
+                            # sigma-7 blur leaves so little coherent
+                            # spectrum that the pooled P/|P| phase
+                            # correlation is roundoff-fragile on real
+                            # frames (see docs/PERF.md).
+                            ecc_downsample=2)
 
 
 @dataclass(frozen=True)
@@ -361,8 +385,10 @@ class TempConfig:
         """Latency-oriented TPU preset.  ``conv_vpu`` routes the per-channel
         feature blurs and the oriented smoothing to VPU shift-adds (~10 ms
         per channel saved at native 4K vs banded MXU matmuls,
-        profile_temp4k.py); the f32 re-association moves golden scene
-        temperature means by <=0.05 degC, inside the 0.1 degC contract."""
+        profile_temp4k.py).  Measured against the committed goldens on the
+        real chip (GOLDENS_r03_deploy.json): scene temperature means within
+        0.073 degC of the reference (0.1 degC contract), the single
+        hottest pixel within 0.54 degC (0.75 degC deploy gate)."""
         return self.replace(percentile_method="hist", use_fused_kernel=True,
                             wide_inpaint_iters=48, color_inpaint_iters=24,
                             rotate_method="shear", crop_compute=True,

@@ -135,6 +135,13 @@ class FTPPipeline:
             g.crop_h, g.crop_w, g.cx_local, g.cy_local, g.r_local, cfg.apod_taper_px)
             if cfg.use_circular_apodization else None)
         self._hann_full = hanning_window(cfg.image_height, cfg.image_width)
+        gsd = int(cfg.global_shift_downsample)
+        self._use_gsd = (gsd > 1 and min(cfg.image_height, cfg.image_width)
+                         >= cfg.global_shift_downsample_min_px)
+        if self._use_gsd:
+            hh = (cfg.image_height // gsd) * gsd
+            ww = (cfg.image_width // gsd) * gsd
+            self._hann_pooled = hanning_window(hh // gsd, ww // gsd)
 
         self._forward = jax.jit(self._forward_impl)
 
@@ -263,12 +270,30 @@ class FTPPipeline:
         def_gray_full = gray_pair[1]
 
         # --- global shift via windowed phase correlation (shape_ftp.py:1486-1492)
+        gs_dx = jnp.float32(0.0)
+        gs_dy = jnp.float32(0.0)
         if cfg.apply_global_shift:
             blur_pair = jax.vmap(
                 lambda g: gaussian_blur(g, cfg.global_shift_blur_sigma,
                                         vpu=cfg.conv_vpu))(gray_pair)
-            dx, dy, _resp = phase_correlate(blur_pair[0], blur_pair[1],
-                                            jnp.asarray(self._hann_full))
+            if self._use_gsd:
+                # sigma-7 blurred inputs: the correlation peak is
+                # pooling-invariant to <0.1 px at d=2, and the full-frame
+                # FFT pair is the 10.7 ms 4K hot spot
+                # (scripts/profile_align4k.py)
+                gsd = int(cfg.global_shift_downsample)
+                fh, fw = blur_pair.shape[1:]
+                hh, ww = (fh // gsd) * gsd, (fw // gsd) * gsd
+                pooled = blur_pair[:, :hh, :ww].reshape(
+                    2, hh // gsd, gsd, ww // gsd, gsd).mean(axis=(2, 4))
+                dx, dy, _resp = phase_correlate(pooled[0], pooled[1],
+                                                jnp.asarray(self._hann_pooled))
+                dx = dx * float(gsd)
+                dy = dy * float(gsd)
+            else:
+                dx, dy, _resp = phase_correlate(blur_pair[0], blur_pair[1],
+                                                jnp.asarray(self._hann_full))
+            gs_dx, gs_dy = dx, dy
             def_gray_full = translate_bilinear(def_gray_full, dx, dy,
                                                max_shift=cfg.global_shift_max_px)
 
@@ -565,6 +590,7 @@ class FTPPipeline:
                 "dbg_ecc_warp": ecc_warp,
                 "dbg_ecc_rho": ecc_rho,
                 "dbg_ecc_iters": ecc_it,
+                "dbg_global_shift": jnp.stack([gs_dx, gs_dy]),
                 "dbg_phase_ref": jnp.angle(dref.complex_demod).astype(jnp.float32),
                 "dbg_phase_def": jnp.angle(ddef.complex_demod).astype(jnp.float32),
                 "dbg_i_norm_ref": dref.i_norm,

@@ -191,6 +191,12 @@ def cmd_pretest(args) -> int:
 
 
 def main(argv=None) -> int:
+    # The jitted 4K pipelines compile in minutes cold; the persistent XLA
+    # cache makes every subsequent CLI process start in seconds.  (Set
+    # VISTAF_JAX_CACHE to relocate, or VISTAF_NO_JAX_CACHE=1 to disable.)
+    if not os.environ.get("VISTAF_NO_JAX_CACHE"):
+        from vistaf_tpu.utils.jaxcache import enable as _enable_jax_cache
+        _enable_jax_cache()
     ap = argparse.ArgumentParser(prog="vistaf-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
