@@ -102,3 +102,55 @@ def test_poisson_dct_fft_route_matches_matmul():
         U._DCT_FFT_MIN_PX = old
     scale = np.abs(mm_out).max() + 1e-9
     assert np.abs(fft_out - mm_out).max() / scale < 1e-4
+
+
+def test_unwrap_downsample_congruent_matches_fullres(rng):
+    """downsample=2 (coarse-grid PCG + full-res congruence projection) must
+    agree with the full-res solve on a realistic smooth phase field: both
+    outputs live on the lattice wrapped + 2*pi*k, so any disagreement is an
+    exact 2*pi multiple, and on a smooth field the integer offsets match
+    everywhere but (at most) isolated dust pixels."""
+    h, w = 512, 512
+    yy, xx = np.indices((h, w))
+    truth = (14.0 * np.exp(-(((xx - 256) ** 2 + (yy - 256) ** 2)
+                             / (2 * 90.0 ** 2)))
+             + 0.015 * xx + 0.008 * yy).astype(np.float32)
+    truth += rng.normal(scale=0.03, size=truth.shape).astype(np.float32)
+    wrapped = np.angle(np.exp(1j * truth)).astype(np.float32)
+    mask = (xx - 256) ** 2 + (yy - 256) ** 2 <= 236 ** 2
+
+    full = np.asarray(unwrap.unwrap_wls(jnp.asarray(wrapped),
+                                        jnp.asarray(mask), cg_iters=40))
+    ds = np.asarray(unwrap.unwrap_wls(jnp.asarray(wrapped),
+                                      jnp.asarray(mask), cg_iters=40,
+                                      downsample=2))
+    d = (ds - full)[mask]
+    # congruence: every difference is an exact 2*pi integer multiple
+    k = d / (2 * np.pi)
+    np.testing.assert_allclose(k, np.round(k), atol=1e-3)
+    # and the integer offsets agree on (essentially) every pixel
+    frac_flipped = float(np.mean(np.abs(k) > 0.5))
+    assert frac_flipped < 1e-3, frac_flipped
+    # both recover the truth up to a constant
+    diff = ds[mask] - truth[mask]
+    diff -= diff.mean()
+    assert np.abs(diff).max() < 0.5, np.abs(diff).max()
+
+
+def test_unwrap_downsample_odd_shape(rng):
+    """Non-divisible shapes are padded with zero-weight pixels; the result
+    must stay finite inside the mask and NaN outside."""
+    h, w = 97, 131
+    yy, xx = np.indices((h, w))
+    truth = (6.0 * np.exp(-(((xx - 65) ** 2 + (yy - 48) ** 2)
+                            / (2 * 25.0 ** 2)))).astype(np.float32)
+    wrapped = np.angle(np.exp(1j * truth)).astype(np.float32)
+    mask = np.zeros((h, w), bool)
+    mask[4:-4, 6:-6] = True
+    out = np.asarray(unwrap.unwrap_wls(jnp.asarray(wrapped),
+                                       jnp.asarray(mask), cg_iters=40,
+                                       downsample=2))
+    assert np.all(np.isfinite(out[mask]))
+    assert np.all(~np.isfinite(out[~mask]))
+    d = (out[mask] - wrapped[mask]) / (2 * np.pi)
+    np.testing.assert_allclose(d, np.round(d), atol=1e-3)

@@ -202,6 +202,14 @@ class FTPConfig:
     # last launch-bound chain in the deploy force path.  Falls back to
     # 'wls' off-TPU and above the VMEM residency budget.
     unwrap_method: str = "wls"
+    # solve the WLS system on a dxd-pooled grid and bilinearly upsample the
+    # SMOOTH solution before the full-res congruence projection (d^2 less
+    # PCG work; the projection snaps to wrapped + 2pi*k exactly, so only
+    # isolated k-flips can differ — the same dust the projection already
+    # produces).  Engages only on crops >= unwrap_downsample_min_px;
+    # 1 = solve at full resolution.
+    unwrap_downsample: int = 1
+    unwrap_downsample_min_px: int = 1024
 
     # --- TPU numerics knobs (no reference equivalent) ---
     # 'sort' = exact NumPy-faithful percentiles; 'hist' = histogram
@@ -295,7 +303,15 @@ class FTPConfig:
                             # spectrum that the pooled P/|P| phase
                             # correlation is roundoff-fragile on real
                             # frames (see docs/PERF.md).
-                            ecc_downsample=2)
+                            ecc_downsample=2,
+                            # coarse-grid WLS unwrap + full-res congruence
+                            # projection (also min_px-gated to native 4K):
+                            # the projection snaps to wrapped + 2*pi*k, so
+                            # the force outputs are identical to the
+                            # full-res deploy solve on the goldens while
+                            # the PCG cost drops 16x (4K deploy p50
+                            # 118 -> 86.7 ms, GOLDENS_r03_deploy.json).
+                            unwrap_downsample=4)
 
 
 @dataclass(frozen=True)

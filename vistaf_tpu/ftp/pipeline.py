@@ -391,7 +391,17 @@ class FTPPipeline:
         phase_wrapped = jnp.angle(ratio).astype(jnp.float32)
 
         # --- unwrap (WLS substitution for shape_ftp.py:1043-1080)
-        if cfg.unwrap_method == "wls_pallas":
+        uds = int(cfg.unwrap_downsample)
+        use_uds = (uds > 1 and min(phase_wrapped.shape)
+                   >= cfg.unwrap_downsample_min_px)
+        if use_uds:
+            # coarse-grid PCG + full-res congruence projection (the 4K
+            # deploy path; the megakernel budget is crop-scale only)
+            phase_unwrapped = unwrap_wls(phase_wrapped, reliable,
+                                         cg_iters=cfg.unwrap_cg_iters,
+                                         tol=cfg.unwrap_cg_tol,
+                                         downsample=uds)
+        elif cfg.unwrap_method == "wls_pallas":
             from vistaf_tpu.pallas.unwrap_kernel import unwrap_wls_pallas
             phase_unwrapped = unwrap_wls_pallas(phase_wrapped, reliable,
                                                 cg_iters=cfg.unwrap_cg_iters,

@@ -93,30 +93,11 @@ def _apply_wlap(phi: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarr
     return _div2(fx, fy)
 
 
-@functools.partial(jax.jit, static_argnames=("cg_iters", "congruent"))
-def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
-               cg_iters: int = 30, tol: float = 1e-8,
-               congruent: bool = True) -> jnp.ndarray:
-    """Weighted least-squares unwrap of ``wrapped`` over ``mask``.
-
-    Outside the mask the weights are zero, so those pixels do not constrain
-    the solution.  The result is anchored so its masked mean equals the
-    masked mean of the wrapped input (gauge fixing; the caller detrends and
-    re-zeros anyway).
-
-    ``congruent=True`` projects the smooth WLS solution back onto the
-    lattice ``wrapped + 2*pi*k`` (Ghiglia & Pritt's congruence step).  The
-    reference's quality-guided flood fill (``shape_ftp.py:1043-1080``) is
-    congruent by construction — it accumulates exact wrapped differences —
-    so without this step the WLS approximation error spreads smoothly over
-    the whole map (and the k-rounding of any path method turns into
-    hypersensitivity to ~1e-3 px alignment changes near steep fringes).
-    With it, disagreements collapse to isolated exact-2*pi pixels that the
-    robust detrend downweights.
-    """
-    psi = jnp.where(mask, wrapped, 0.0).astype(jnp.float32)
-    m = mask.astype(jnp.float32)
-
+def _wls_pcg_solve(psi: jnp.ndarray, m: jnp.ndarray,
+                   cg_iters: int, tol: float) -> jnp.ndarray:
+    """The PCG core: smooth (non-congruent, un-gauged) WLS solution, defined
+    over the WHOLE grid (outside the mask it is the natural smooth
+    extension — no NaNs, so callers may resample it)."""
     # per-edge binary weights: both endpoints inside the mask
     wx = m[:, 1:] * m[:, :-1]
     wy = m[1:, :] * m[:-1, :]
@@ -154,13 +135,19 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
 
     phi, r, _, _, _ = jax.lax.while_loop(
         cond, body, (phi0, r0, p0, rz0, jnp.int32(0)))
+    return phi
 
-    # gauge: anchor to the wrapped input on the masked mean.  The masked-
-    # constant null space of A is invisible to CG, so phi can carry an
-    # arbitrarily large constant (the preconditioner injects some every
-    # iteration); a single f32 sum of (psi - phi) then loses ~|const|*eps
-    # to cancellation (observed ~0.1 rad at |const|~4e4).  Two-pass mean:
-    # the second pass sums small residuals exactly.
+
+def _gauge_and_project(phi: jnp.ndarray, psi: jnp.ndarray, m: jnp.ndarray,
+                       mask: jnp.ndarray, congruent: bool) -> jnp.ndarray:
+    """Gauge-anchor ``phi`` to the wrapped input's masked mean, optionally
+    congruence-project, NaN outside the mask.
+
+    Gauge: the masked-constant null space of A is invisible to CG, so phi
+    can carry an arbitrarily large constant (the preconditioner injects
+    some every iteration); a single f32 sum of (psi - phi) then loses
+    ~|const|*eps to cancellation (observed ~0.1 rad at |const|~4e4).
+    Two-pass mean: the second pass sums small residuals exactly."""
     n = jnp.maximum(jnp.sum(m), 1.0)
     d = psi - phi
     s1 = jnp.sum(d * m) / n
@@ -173,3 +160,58 @@ def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
         phi = psi + two_pi * k
 
     return jnp.where(mask, phi, jnp.nan).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cg_iters", "congruent",
+                                             "downsample"))
+def unwrap_wls(wrapped: jnp.ndarray, mask: jnp.ndarray,
+               cg_iters: int = 30, tol: float = 1e-8,
+               congruent: bool = True, downsample: int = 1) -> jnp.ndarray:
+    """Weighted least-squares unwrap of ``wrapped`` over ``mask``.
+
+    Outside the mask the weights are zero, so those pixels do not constrain
+    the solution.  The result is anchored so its masked mean equals the
+    masked mean of the wrapped input (gauge fixing; the caller detrends and
+    re-zeros anyway).
+
+    ``congruent=True`` projects the smooth WLS solution back onto the
+    lattice ``wrapped + 2*pi*k`` (Ghiglia & Pritt's congruence step).  The
+    reference's quality-guided flood fill (``shape_ftp.py:1043-1080``) is
+    congruent by construction — it accumulates exact wrapped differences —
+    so without this step the WLS approximation error spreads smoothly over
+    the whole map (and the k-rounding of any path method turns into
+    hypersensitivity to ~1e-3 px alignment changes near steep fringes).
+    With it, disagreements collapse to isolated exact-2*pi pixels that the
+    robust detrend downweights.
+
+    ``downsample=d`` solves the WLS system on a dxd-pooled grid and
+    bilinearly upsamples the SMOOTH solution before the full-resolution
+    gauge + congruence projection (d^2 less PCG work — the 4K deploy
+    path).  Because the projection snaps to ``wrapped + 2*pi*k`` exactly,
+    the coarse solve only needs to be within pi of the smooth field; the
+    demodulated phase is far smoother than d px, so disagreements vs the
+    full-res solve are the same isolated exact-2*pi pixels the congruence
+    step already produces.  Pooling happens in the complex domain
+    (angle of the masked phasor-sum) so wrapped values never average
+    across a branch cut."""
+    psi = jnp.where(mask, wrapped, 0.0).astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+
+    if downsample > 1:
+        d = int(downsample)
+        h, w = psi.shape
+        Hp, Wp = -(-h // d) * d, -(-w // d) * d
+        pad = lambda a: jnp.pad(a, ((0, Hp - h), (0, Wp - w)))
+        pool = lambda a: pad(a).reshape(Hp // d, d, Wp // d, d).sum(axis=(1, 3))
+        zr, zi = pool(jnp.cos(psi) * m), pool(jnp.sin(psi) * m)
+        mc = pool(m)
+        psi_c = jnp.arctan2(zi, zr)
+        phi_c = _wls_pcg_solve(jnp.where(mc > 0, psi_c, 0.0),
+                               (mc > 0).astype(jnp.float32), cg_iters, tol)
+        # 'linear' half-pixel centers are exactly the average-pool block
+        # centers, so the upsample is alignment-exact
+        phi = jax.image.resize(phi_c, (Hp, Wp), method="linear")[:h, :w]
+    else:
+        phi = _wls_pcg_solve(psi, m, cg_iters, tol)
+
+    return _gauge_and_project(phi, psi, m, mask, congruent)
