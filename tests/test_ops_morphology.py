@@ -68,3 +68,83 @@ def test_dilate_iterations(rng):
     ours = np.asarray(morphology.dilate(jnp.asarray(mask), fp, iterations=2))
     ref = cv2.dilate(u8, cvk, iterations=2) > 0
     np.testing.assert_array_equal(ours, ref)
+
+
+def _reconstruct_oracle(seed, mask):
+    """Union of the 8-connected components of ``mask`` containing a seed."""
+    import scipy.ndimage as ndi
+    labels, n = ndi.label(mask, structure=np.ones((3, 3)))
+    hit = np.unique(labels[seed & mask])
+    hit = hit[hit > 0]
+    return np.isin(labels, hit) & mask
+
+
+def _both_routes(fn):
+    """Run ``fn`` under each reconstruct body (dilation rounds and
+    associative-scan sweeps) — the size gate picks between them in
+    production, but both must share the exact fixed point."""
+    old = morphology._SWEEP_MIN_PX
+    for min_px in (old, 0):
+        morphology._SWEEP_MIN_PX = min_px
+        try:
+            fn()
+        finally:
+            morphology._SWEEP_MIN_PX = old
+
+
+def test_reconstruct_matches_components_oracle():
+    def run():
+        rng = np.random.default_rng(7)
+        for density in (0.35, 0.55, 0.75):
+            mask = rng.random((120, 140)) < density
+            seed = mask & (rng.random((120, 140)) < 0.01)
+            out = np.asarray(morphology.reconstruct(jnp.asarray(seed),
+                                                    jnp.asarray(mask)))
+            np.testing.assert_array_equal(out, _reconstruct_oracle(seed, mask))
+    _both_routes(run)
+
+
+def test_reconstruct_diagonal_corner_links():
+    # two solid squares touching ONLY at a corner pixel: 8-connectivity must
+    # cross it (the axis sweeps alone cannot; the in-round dilate must)
+    def run():
+        mask = np.zeros((40, 40), bool)
+        mask[5:15, 5:15] = True
+        mask[15:25, 15:25] = True
+        seed = np.zeros_like(mask)
+        seed[7, 7] = True
+        out = np.asarray(morphology.reconstruct(jnp.asarray(seed),
+                                                jnp.asarray(mask)))
+        np.testing.assert_array_equal(out, mask)
+    _both_routes(run)
+
+
+def test_reconstruct_spiral_worst_case():
+    # a 1-px spiral corridor: every round only advances the frontier a
+    # bounded amount, so this exercises many while_loop rounds and the
+    # exact fixed-point guarantee
+    _both_routes(_spiral_case)
+
+
+def _spiral_case():
+    h = w = 41
+    mask = np.zeros((h, w), bool)
+    y0, y1, x0, x1 = 0, h - 1, 0, w - 1
+    while y0 <= y1 and x0 <= x1:
+        mask[y0, x0:x1 + 1] = True
+        mask[y0:y1 + 1, x1] = True
+        mask[y1, x0:x1 + 1] = True
+        mask[y0 + 2:y1 + 1, x0] = True
+        y0 += 2; x0 += 2; y1 -= 2; x1 -= 2
+    # break it into one long connected corridor + leave a detached blob
+    mask[1, 0] = False
+    mask[35:38, 18:21] = False
+    detached = np.zeros_like(mask)
+    detached[36, 19] = True
+    mask |= detached
+    seed = np.zeros_like(mask)
+    seed[0, 0] = True
+    out = np.asarray(morphology.reconstruct(jnp.asarray(seed),
+                                            jnp.asarray(mask)))
+    np.testing.assert_array_equal(out, _reconstruct_oracle(seed, mask))
+    assert not out[36, 19]

@@ -130,27 +130,66 @@ def gray_erode(x: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
     return _morph(x, footprint, False)
 
 
+def _sweep(s: jnp.ndarray, m: jnp.ndarray, axis: int,
+           reverse: bool) -> jnp.ndarray:
+    """Propagate seed ``s`` along ``axis`` through True-runs of ``m`` in one
+    log-depth pass.  Per-pixel transition is ``x -> (x & m) | s``; that
+    function class is closed under composition with representation
+    ``(a, b): x -> (x & a) | b`` and associative combine
+    ``(a1,b1) then (a2,b2) = (a1 & a2, (b1 & a2) | b2)``, so a whole
+    row/column propagation is one ``associative_scan``."""
+    def comb(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a1 & a2, (b1 & a2) | b2
+
+    _, b = jax.lax.associative_scan(comb, (m, s), axis=axis, reverse=reverse)
+    return b
+
+
+_SWEEP_MIN_PX = 1_000_000  # route choice only; both bodies share the fixed point
+
+
 def reconstruct(seed: jnp.ndarray, mask: jnp.ndarray,
                 max_iters: int = 4096) -> jnp.ndarray:
     """Morphological reconstruction by dilation: grow ``seed`` inside
     ``mask`` (8-connectivity) to a fixed point — i.e., select exactly the
     connected components of ``mask`` that contain a seed pixel.
 
-    Pure 3x3 max-pool + mask per step (VPU), several dilations per loop
-    round; replaces per-component labeling for "keep blobs containing X"
+    Each round does four log-depth associative-scan sweeps (seed runs fill
+    whole rows/columns at once — the bulk transport) plus one true 3x3
+    dilation (crosses 8-connectivity corner-only links the axis sweeps
+    cannot see), then checks the fixed point.  The sweeps only ever add
+    pixels reachable inside ``mask``, and any state stable under
+    dilate-and-mask that contains the seed IS the full component, so the
+    fixed point — and hence the output — is exactly the naive per-pixel
+    dilation's.  Convex-ish blobs converge in ~2 rounds instead of
+    O(geodesic radius): at the native-4K reliable-mask scale (~870 px
+    blob radius) this is the difference between ~5 and ~110 sequential
+    rounds.  Replaces per-component labeling for "keep blobs containing X"
     queries like the contact-blob peak filter (``shape_ftp.py:1215-1271``).
     """
-    import jax
-
     fp = np.ones((3, 3), dtype=bool)
     s = (seed & mask)
+    # Below ~1 Mpx the graph is launch-bound and geodesic radii are small
+    # (contact blobs), so the cheap 9-op dilation round beats the ~50-op
+    # sweep round; above it (native-4K reliable mask, ~870 px radius) the
+    # sweeps win 107 -> 33 ms measured on-chip.  Same fixed point either way.
+    use_sweeps = mask.shape[0] * mask.shape[1] >= _SWEEP_MIN_PX
 
     def body(state):
         s, _ = state
-        grown = s
-        for _ in range(8):  # 8 dilation steps per convergence check
-            grown = dilate(grown, fp) & mask
-        return grown, jnp.any(grown != s)
+        if use_sweeps:
+            t = _sweep(s, mask, axis=1, reverse=False)
+            t = _sweep(t, mask, axis=1, reverse=True)
+            t = _sweep(t, mask, axis=0, reverse=False)
+            t = _sweep(t, mask, axis=0, reverse=True)
+            t = dilate(t, fp) & mask
+        else:
+            t = s
+            for _ in range(8):  # 8 dilation steps per convergence check
+                t = dilate(t, fp) & mask
+        return t, jnp.any(t != s)
 
     def cond(state):
         return state[1]
