@@ -1,3 +1,4 @@
+import os
 import re
 
 import numpy as np
@@ -47,3 +48,27 @@ def test_synthetic_pair_has_carrier():
     g = ref[..., 0].astype(float)
     spec = np.abs(np.fft.rfft(g - g.mean(), axis=1)).mean(axis=0)
     assert spec[3:].max() > 10 * np.median(spec[3:])
+
+
+def test_jaxcache_path_is_host_keyed(tmp_path, monkeypatch):
+    """Cache entries must live under a per-host CPU-fingerprint subdir so a
+    checkout carried to a different machine never deserializes foreign
+    XLA:CPU AOT code (SIGILL hazard — see round-3 MULTICHIP loader errors)."""
+    import jax
+
+    from vistaf_tpu.utils import jaxcache
+
+    fp = jaxcache.host_fingerprint()
+    assert len(fp) == 12 and all(c in "0123456789abcdef" for c in fp)
+    # deterministic on the same host
+    assert jaxcache.host_fingerprint() == fp
+
+    monkeypatch.setenv("VISTAF_JAX_CACHE", str(tmp_path))
+    jaxcache.enable()
+    try:
+        got = jax.config.jax_compilation_cache_dir
+        assert got == os.path.join(str(tmp_path), f"host-{fp}")
+        assert os.path.isdir(got)
+    finally:
+        # restore the session-wide cache dir set by conftest
+        jaxcache.enable()
