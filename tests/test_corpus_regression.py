@@ -65,32 +65,40 @@ def _assert_corpus_summary(d, mode):
 
 @pytest.mark.parametrize("mode", ["parity", "deploy"])
 def test_committed_corpus_artifact_gates(mode):
-    path = os.path.join(REPO, f"CORPUS_r03_{mode}.json")
-    if not os.path.exists(path):
+    """Every committed round's corpus artifact must pass — including the
+    newest, so a deploy-default change (pooled ECC, coarse-grid unwrap, ...)
+    can never ship without a fresh corpus run that clears the gates."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(REPO, f"CORPUS_r*_{mode}.json")))
+    if not paths:
         pytest.skip("corpus artifact not present")
-    with open(path) as f:
-        d = json.load(f)
-    assert d["mode"] == mode
-    _assert_corpus_summary(d, mode)
+    for path in paths:
+        with open(path) as f:
+            d = json.load(f)
+        assert d["mode"] == mode, path
+        _assert_corpus_summary(d, mode)
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode", ["parity", "deploy"])
 @pytest.mark.skipif(os.environ.get("VISTAF_RUN_CORPUS") != "1",
                     reason="75-scene corpus run (set VISTAF_RUN_CORPUS=1)")
 @pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
-def test_live_corpus_distribution(tmp_path):
+def test_live_corpus_distribution(tmp_path, mode):
     """Re-run the full corpus on the machine's default platform (TPU when
-    available) and assert the parity-mode distribution gates."""
-    out = tmp_path / "corpus.json"
+    available) and assert the distribution gates for BOTH presets — the
+    deploy preset's pooled/coarse-grid knobs must face all 75 real frames,
+    not just the 5 goldens (docs/PERF.md, pooled-global-shift incident)."""
+    out = tmp_path / f"corpus_{mode}.json"
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "run_sphere_corpus.py"),
-         "parity", str(out)],
+         mode, str(out)],
         check=True, cwd=REPO, env=env, timeout=3600)
     with open(out) as f:
         d = json.load(f)
-    _assert_corpus_summary(d, "parity")
+    _assert_corpus_summary(d, mode)
 
 
 def test_committed_goldens_artifact_gates():
