@@ -35,6 +35,20 @@ def shard_batch(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P("stream")))
 
 
+def shard_local_batch(mesh: Mesh, local_x):
+    """Multi-process SPMD placement: each process contributes its LOCAL
+    streams (leading axis) to the global batch sharded over ``mesh``.
+
+    In a multi-host bring-up (``distributed.initialize_multihost``) the mesh
+    spans non-addressable devices, where ``jax.device_put`` of host data is
+    not allowed; ``make_array_from_process_local_data`` assembles the global
+    array from per-process shards instead.  Single-process it degenerates to
+    ``shard_batch``.
+    """
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("stream")), np.asarray(local_x))
+
+
 class BatchedForce:
     """vmapped force forward over a stream batch, shardable over a mesh.
 
@@ -159,3 +173,119 @@ def whole_limb_step(batched_force: BatchedForce, mesh: Mesh,
                        out["max_depth_mm"], contact_depth)
 
     return jax.jit(step, in_shardings=(in_sh, in_sh))
+
+
+def motion_gate(accel_mss, ok_mss: float = 2.0, cut_mss: float = 20.0):
+    """Per-stream IMU motion gate in [0, 1].
+
+    A skin patch accelerating fast is motion-blurred (the FTP carrier
+    smears), so its frame's contribution is downweighted with a linear ramp:
+    1 below ``ok_mss`` residual acceleration, 0 above ``cut_mss``.
+    ``accel_mss``: (..., 3) linear acceleration with gravity removed [m/s^2].
+    """
+    mag = jnp.sqrt(jnp.sum(jnp.square(accel_mss), axis=-1))
+    return jnp.clip((cut_mss - mag) / (cut_mss - ok_mss), 0.0, 1.0)
+
+
+def whole_limb_step_aux(batched_force: BatchedForce, mesh: Mesh,
+                        canvas_hw, map_stride: int = 1,
+                        gate_ok_mss: float = 2.0, gate_cut_mss: float = 20.0):
+    """Config-5 fusion head WITH auxiliary proprioception/IMU streams
+    (BASELINE.json configs[4]: "vision tactile + IMU/proprioception streams
+    -> whole-limb contact map").  The reference has no counterpart (it is
+    single-patch, single-process); this closes the BASELINE clause the
+    TPU-native way: the aux pytree rides the same ``P('stream')`` sharding
+    as the frames, and the placement/fusion runs inside the shard_map with
+    rep-checkable ICI collectives.
+
+    Aux pytree (leading axis = stream, sharded over the mesh):
+
+    - ``pose_px``: (B, 2) int32 — top-left (y, x) of the patch on the shared
+      limb canvas, in canvas pixels at stride 1 (proprioception: the robot's
+      forward kinematics locates each skin patch on the limb surface).
+    - ``accel_mss``: (B, 3) float32 — gravity-removed IMU acceleration of
+      the patch; fast-moving (motion-blurred) streams are downweighted via
+      ``motion_gate``.
+
+    Returns a jitted ``step(ref_b, def_b, aux) -> dict`` whose
+    ``limb_canvas_mm`` is an (canvas_h/stride, canvas_w/stride) contact-depth
+    map assembled by pose-indexed placement (max-blend where patches
+    overlap) and replicated to every chip; scalar summaries are gated sums.
+    """
+    single = batched_force._single
+    eps = batched_force.depth_eps_mm
+    in_sh = NamedSharding(mesh, P("stream"))
+    ch, cw = int(canvas_hw[0]) // map_stride, int(canvas_hw[1]) // map_stride
+
+    n_streams_axis = mesh.shape["stream"]
+
+    def fuse(forces, areas, depths, maps, pose, gate):
+        i = jax.lax.axis_index("stream")
+        nloc = forces.shape[0]
+        B = nloc * n_streams_axis
+
+        gf = forces * gate
+        placed_f = jax.lax.dynamic_update_slice(
+            jnp.zeros((B,), gf.dtype), gf, (i * nloc,))
+        all_forces = jax.lax.psum(placed_f, "stream")
+        placed_g = jax.lax.dynamic_update_slice(
+            jnp.zeros((B,), gate.dtype), gate, (i * nloc,))
+        all_gates = jax.lax.psum(placed_g, "stream")
+
+        # pose-indexed placement: max-blend each local patch onto the canvas
+        # (overlapping patches must not double-count depth), then pmax over
+        # the mesh -> replicated whole-limb canvas.
+        canvas = jnp.zeros((ch, cw), maps.dtype)
+        ph, pw = maps.shape[1], maps.shape[2]
+        for k in range(nloc):                      # nloc is static and small
+            yx = jnp.clip(pose[k] // map_stride,
+                          jnp.zeros((2,), pose.dtype),
+                          jnp.array([ch - ph, cw - pw], pose.dtype))
+            region = jax.lax.dynamic_slice(canvas, (yx[0], yx[1]), (ph, pw))
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, jnp.maximum(region, maps[k] * gate[k]), (yx[0], yx[1]))
+        canvas = jax.lax.pmax(canvas, "stream")
+
+        total = jax.lax.psum(jnp.sum(gf), "stream")
+        max_depth = jax.lax.pmax(jnp.max(depths * gate), "stream")
+        area = jax.lax.psum(jnp.sum(areas * gate), "stream")
+        return {
+            "per_stream_force": all_forces,
+            "stream_gate": all_gates,
+            "total_force_N": total,
+            "max_depth_mm": max_depth,
+            "contact_area_mm2": area,
+            "limb_canvas_mm": canvas,
+        }
+
+    fuse_sm = jax.shard_map(
+        fuse, mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P("stream"), P("stream"),
+                  P("stream"), P("stream")),
+        out_specs={
+            "per_stream_force": P(),
+            "stream_gate": P(),
+            "total_force_N": P(),
+            "max_depth_mm": P(),
+            "contact_area_mm2": P(),
+            "limb_canvas_mm": P(),
+        })
+
+    def step(ref_b, def_b, aux):
+        out = jax.vmap(single)(ref_b, def_b)
+        hm = out["height_map_mm"]
+        hmf = jnp.where(jnp.isfinite(hm), hm, 0.0)
+        pos_sum = jnp.sum(jnp.clip(hmf, 0.0, jnp.inf), axis=(1, 2), keepdims=True)
+        neg_sum = jnp.sum(jnp.clip(-hmf, 0.0, jnp.inf), axis=(1, 2), keepdims=True)
+        depth = jnp.where(neg_sum > pos_sum, -hmf, hmf)
+        contact_depth = jnp.where(jnp.isfinite(hm) & (depth > eps), depth, 0.0)
+        if map_stride > 1:
+            contact_depth = contact_depth[:, ::map_stride, ::map_stride]
+        gate = motion_gate(aux["accel_mss"].astype(jnp.float32),
+                           gate_ok_mss, gate_cut_mss)
+        pose = aux["pose_px"].astype(jnp.int32)
+        return fuse_sm(out["force_N"], out["contact_area_mm2"],
+                       out["max_depth_mm"], contact_depth, pose, gate)
+
+    aux_sh = {"pose_px": in_sh, "accel_mss": in_sh}
+    return jax.jit(step, in_shardings=(in_sh, in_sh, aux_sh))
