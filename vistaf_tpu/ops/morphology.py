@@ -130,21 +130,48 @@ def gray_erode(x: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
     return _morph(x, footprint, False)
 
 
+def _shift_fill(x: jnp.ndarray, k: int, axis: int, fill: bool) -> jnp.ndarray:
+    """Bring element ``i-k`` to position ``i`` along ``axis`` (k may be
+    negative), filling vacated slots with ``fill`` — one aligned pad+slice,
+    the shift primitive TPUs like (same pattern as the Paeth shear passes)."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if k >= 0:
+        pad[axis] = (k, 0)
+        sl[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -k)
+        sl[axis] = slice(-k, -k + n)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
 def _sweep(s: jnp.ndarray, m: jnp.ndarray, axis: int,
            reverse: bool) -> jnp.ndarray:
     """Propagate seed ``s`` along ``axis`` through True-runs of ``m`` in one
     log-depth pass.  Per-pixel transition is ``x -> (x & m) | s``; that
     function class is closed under composition with representation
     ``(a, b): x -> (x & a) | b`` and associative combine
-    ``(a1,b1) then (a2,b2) = (a1 & a2, (b1 & a2) | b2)``, so a whole
-    row/column propagation is one ``associative_scan``."""
-    def comb(l, r):
-        a1, b1 = l
-        a2, b2 = r
-        return a1 & a2, (b1 & a2) | b2
+    ``(a1,b1) then (a2,b2) = (a1 & a2, (b1 & a2) | b2)`` — a first-order
+    boolean recurrence, evaluated here as a Kogge-Stone doubling ladder of
+    aligned whole-array shifts (monoid identity ``(True, False)`` as fill).
 
-    _, b = jax.lax.associative_scan(comb, (m, s), axis=axis, reverse=reverse)
-    return b
+    Why not ``lax.associative_scan``: same math, but its odd/even
+    decimation lowers to strided slice/concat trees that XLA:TPU schedules
+    pathologically when two scans chain across axes — measured 2.3 ms per
+    axis switch at 1182^2 (deps in docs/PERF.md), vs 0.31 ms for the whole
+    four-sweep chain in this formulation (27x on full reconstruct)."""
+    n = s.shape[axis]
+    A, B = m, s
+    k = 1
+    while k < n:
+        kk = -k if reverse else k
+        As = _shift_fill(A, kk, axis, True)
+        Bs = _shift_fill(B, kk, axis, False)
+        B = (Bs & A) | B
+        A = As & A
+        k *= 2
+    return B
 
 
 _SWEEP_MIN_PX = 1_000_000  # route choice only; both bodies share the fixed point
@@ -172,9 +199,11 @@ def reconstruct(seed: jnp.ndarray, mask: jnp.ndarray,
     fp = np.ones((3, 3), dtype=bool)
     s = (seed & mask)
     # Below ~1 Mpx the graph is launch-bound and geodesic radii are small
-    # (contact blobs), so the cheap 9-op dilation round beats the ~50-op
-    # sweep round; above it (native-4K reliable mask, ~870 px radius) the
-    # sweeps win 107 -> 33 ms measured on-chip.  Same fixed point either way.
+    # (contact blobs), so the cheap 9-op dilation round beats the sweep
+    # round; above it (native-4K reliable mask, ~870 px radius) the sweeps
+    # win — 0.60 ms full reconstruct at 1182^2 with the Kogge-Stone sweep
+    # (round 4; was 16.2 ms under associative_scan, 107 ms pure dilation).
+    # Same fixed point either way.
     use_sweeps = mask.shape[0] * mask.shape[1] >= _SWEEP_MIN_PX
 
     def body(state):
