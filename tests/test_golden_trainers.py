@@ -24,7 +24,14 @@ def test_color_trainer_reproduces_reference_metrics(tmp_path):
     environment rebuilds flips the pick (a round-1 run selected deg2, the
     rebuilt round-3 image selects deg1).  For those variants the parity
     weight is carried by the RMSE bounds; the degree only has to stay
-    inside the candidate range actually explored by the reference."""
+    inside the candidate range actually explored by the reference.
+
+    RMSE tolerance history: round 1 documented a 0.461-vs-0.437 global
+    gap and this test carried a 0.08 band.  The gap was stale — it
+    predated the cv2-bit-exact LAB feature extraction (62e94ef); the
+    round-4 re-run at HEAD reproduces every published RMSE exactly
+    (heating 0.0/0.0, cooling 0.8500/0.8552, global 0.4370/0.7069), so
+    the band is now the measured floor (solver/isotonic float dust)."""
     import json
     from vistaf_tpu.trainers import temperature_color as t
     out = t.train(
@@ -41,8 +48,8 @@ def test_color_trainer_reproduces_reference_metrics(tmp_path):
             assert o["degree"] == g["degree"], name
         else:
             assert abs(o["degree"] - g["degree"]) <= 1, name
-        assert abs(o["metrics_means"]["rmse_C"] - g["metrics_means"]["rmse_C"]) < 0.08, name
-        assert abs(o["metrics_frames"]["rmse_C"] - g["metrics_frames"]["rmse_C"]) < 0.08, name
+        assert abs(o["metrics_means"]["rmse_C"] - g["metrics_means"]["rmse_C"]) < 0.01, name
+        assert abs(o["metrics_frames"]["rmse_C"] - g["metrics_frames"]["rmse_C"]) < 0.01, name
     # artifact contract
     assert os.path.exists(tmp_path / "models_final_summary_metrics.json")
     assert os.path.exists(tmp_path / "equations_color_models_final.txt")
