@@ -428,6 +428,10 @@ class SessionConfig:
     save_summary_figures: bool = True
     export_heightmaps: bool = True
     show_3d_interactive: bool = False
+    # trace both modality forwards into ONE XLA program (one def-frame
+    # upload, one launch sequence) instead of two sequential jit calls;
+    # same math — see MultimodalPipeline.step_fused
+    fused_step: bool = False
 
 
 # Reference calibration-artifact default locations (relative to a data root),

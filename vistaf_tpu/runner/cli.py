@@ -129,7 +129,8 @@ def cmd_multimodal(args) -> int:
     pipe = MultimodalPipeline.from_artifacts(args.data_root, ftp_cfg=ftp_cfg,
                                              temp_cfg=temp_cfg)
     cfg = SessionConfig(output_root=args.out,
-                        show_3d_interactive=getattr(args, "show_3d", False))
+                        show_3d_interactive=getattr(args, "show_3d", False),
+                        fused_step=getattr(args, "fused", False))
     summary = run_session(pipe, args.ref, getattr(args, "def"), args.data_root, cfg)
     sr = summary["sensor_readings"]
     print(f"Force:       {sr['force']['force_N']:.3f} N")
@@ -230,6 +231,9 @@ def main(argv=None) -> int:
     p.add_argument("--show-3d", dest="show_3d", action="store_true",
                    help="open the interactive 3-D heightmap window "
                         "(multimodal_sensor.py SHOW_3D_HEIGHTMAP_INTERACTIVE)")
+    p.add_argument("--fused", action="store_true",
+                   help="trace force+temperature as ONE XLA program "
+                        "(single def-frame upload/launch; same outputs)")
     _add_data_root(p)
     _add_preset(p)
     p.set_defaults(fn=cmd_multimodal)

@@ -115,7 +115,8 @@ def run_session(pipeline: MultimodalPipeline, reference_image: str,
     ref_bgr = io.imread_bgr(reference_image)
     def_bgr = io.imread_bgr(deformed_image)
 
-    out = pipeline(ref_bgr, def_bgr)
+    out = (pipeline.step_fused(ref_bgr, def_bgr) if cfg.fused_step
+           else pipeline(ref_bgr, def_bgr))
     f = out["force"]
     t = out["temperature"]
     tstats = out["temperature_stats"]
