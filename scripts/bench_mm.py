@@ -1,0 +1,153 @@
+"""Native-4K multimodal step latency: one frame pair -> force AND temperature.
+
+The reference's flagship entry point runs both sensors on the same deformed
+frame in one process (``multimodal_sensor.py:349-697``).  This measures, on
+one TPU chip at 3840x2160 with the deploy presets:
+
+- each modality's jitted graph alone (the round-3 per-modality numbers),
+- the SEQUENTIAL multimodal step (two jit calls per frame — how the
+  orchestrator's ``__call__`` runs), and
+- the FUSED multimodal step (``MultimodalPipeline.step_fused``: both
+  forwards traced into one XLA program; volume/force reduced in-graph so
+  the steady-state fetch is scalars only).
+
+Timing is the fetch-based method of ``bench.py::measure_tpu`` (enqueue N
+executions, fetch one scalar, subtract measured RTT — compile excluded;
+inputs device-resident as in all committed bench artifacts).  The per-frame
+host->device ingest cost (24 MB BGR upload over the tunnel) is measured
+separately and reported once: the fused step pays it ONCE per frame, the
+sequential step uploads the deformed frame twice.
+
+Usage: python scripts/bench_mm.py [out.json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from vistaf_tpu.utils.jaxcache import enable as _enable
+
+_enable()
+
+REF = "/root/reference"
+GOLD_FORCE_N = 3.296  # Demos_report FINAL_E force_sensing/result.json
+
+
+def _rtt(jax, jnp):
+    import numpy as np
+    triv = jax.jit(lambda x: x + 1.0)
+    _ = float(triv(jnp.float32(1.0)))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _ = float(triv(jnp.float32(1.0)))
+        rtts.append(time.perf_counter() - t0)
+    return float(np.median(rtts))
+
+
+def _measure(run_once, fetch_scalar, rtt, iters=4, rounds=3):
+    """Median per-execution time of ``run_once`` (enqueue) via one scalar
+    fetch per round."""
+    import numpy as np
+    per = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run_once()
+        _ = fetch_scalar(out)
+        per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
+    return float(np.percentile(per, 50)) * 1000.0
+
+
+def main():
+    import cv2
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vistaf_tpu.config import FTPConfig, TempConfig
+    from vistaf_tpu.pipelines.multimodal import MultimodalPipeline
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_mm.json"
+    ref = cv2.imread(f"{REF}/Final_demos_images/FINAL_reference.jpg", cv2.IMREAD_COLOR)
+    de = cv2.imread(f"{REF}/Final_demos_images/FINAL_E_deformed.jpg", cv2.IMREAD_COLOR)
+
+    pipe = MultimodalPipeline.from_artifacts(
+        REF, ftp_cfg=FTPConfig().deploy(), temp_cfg=TempConfig().deploy())
+
+    r = jax.device_put(np.asarray(ref))
+    d = jax.device_put(np.asarray(de))
+
+    # warm + parity check via the fused step (compile both subgraphs)
+    t0 = time.time()
+    fout, tout, scal = pipe._fused_forward(r, d)
+    force_n = float(scal["force_N"])
+    t_mean = float(tout["t_mean"])
+    compile_s = time.time() - t0
+    err_pct = (force_n - GOLD_FORCE_N) / GOLD_FORCE_N * 100.0
+    print(f"fused warm: force={force_n:.4f} N ({err_pct:+.2f}% vs gold) "
+          f"t_mean={t_mean:.3f} C  [compile+warm {compile_s:.0f}s]", flush=True)
+
+    # warm the standalone graphs too
+    f_fwd = pipe.force.ftp._forward
+    t_fwd = pipe.temperature._forward
+    _ = float(np.asarray(f_fwd(r, d)["est_period_px"]))
+    _ = float(np.asarray(t_fwd(d)["t_mean"]))
+
+    rtt = _rtt(jax, jnp)
+    res = {}
+    res["force_only_ms"] = round(_measure(
+        lambda: f_fwd(r, d), lambda o: float(np.asarray(o["est_period_px"])),
+        rtt), 2)
+    res["temp_only_ms"] = round(_measure(
+        lambda: t_fwd(d), lambda o: float(np.asarray(o["t_mean"])), rtt), 2)
+
+    def seq_once():
+        fo = f_fwd(r, d)
+        to = t_fwd(d)
+        return fo, to
+
+    res["sequential_mm_ms"] = round(_measure(
+        seq_once,
+        lambda o: float(np.asarray(o[0]["est_period_px"]))
+        + float(np.asarray(o[1]["t_mean"])), rtt), 2)
+    res["fused_mm_ms"] = round(_measure(
+        lambda: pipe._fused_forward(r, d),
+        lambda o: float(np.asarray(o[2]["force_N"])), rtt), 2)
+    for k, v in res.items():
+        print(f"{k:20s} {v:8.2f}", flush=True)
+
+    # per-frame ingest: host->device upload of one 4K BGR frame
+    ups = []
+    host = np.asarray(de)
+    for _ in range(6):
+        t0 = time.perf_counter()
+        x = jax.device_put(host)
+        x.block_until_ready()
+        ups.append(time.perf_counter() - t0)
+        del x
+    upload_ms = float(np.median(ups) * 1000.0)
+
+    summary = {
+        "scene": "FINAL_E_deformed",
+        "resolution": "3840x2160",
+        "preset": "deploy",
+        **res,
+        "fused_vs_sequential_speedup": round(
+            res["sequential_mm_ms"] / res["fused_mm_ms"], 3),
+        "frame_upload_ms_24MB": round(upload_ms, 2),
+        "force_N": round(force_n, 4),
+        "force_err_vs_gold_pct": round(err_pct, 3),
+        "t_mean_C": round(t_mean, 3),
+        "gold_force_N": GOLD_FORCE_N,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

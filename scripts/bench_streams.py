@@ -138,6 +138,38 @@ def main():
     print(f"config5 whole-limb: step p50 {p50_s*1e3:.2f} ms -> {hz5:.0f} Hz "
           f"(limb map {limb_shape})", flush=True)
 
+    # --- config 5 with the auxiliary proprioception/IMU streams
+    # (BASELINE configs[4] verbatim: "vision tactile + IMU/proprioception
+    # streams -> whole-limb contact map at 200 Hz")
+    from vistaf_tpu.parallel.mesh import whole_limb_step_aux
+    canvas_hw = (2 * H, 2 * W)
+    step_a = whole_limb_step_aux(bf, mesh, canvas_hw, map_stride=2)
+    rng = np.random.default_rng(5)
+    aux = {
+        "pose_px": jax.device_put(np.stack([
+            rng.integers(0, canvas_hw[0] - H, N_STREAMS),
+            rng.integers(0, canvas_hw[1] - W, N_STREAMS)], axis=1)
+            .astype(np.int32)),
+        "accel_mss": jax.device_put(
+            rng.normal(0.0, 1.0, (N_STREAMS, 3)).astype(np.float32)),
+    }
+    out = step_a(rs, ds, aux)  # compile + warm
+    canvas_shape = tuple(int(s) for s in out["limb_canvas_mm"].shape)
+
+    p50_s = _time_steps(lambda: step_a(rs, ds, aux),
+                        lambda o: float(o["total_force_N"]), rtt)
+    hz5a = 1.0 / p50_s
+    summary["config5_whole_limb_aux"] = {
+        "step_p50_ms": round(p50_s * 1e3, 2),
+        "whole_limb_hz_one_chip_4_streams": round(hz5a, 1),
+        "limb_canvas_shape": canvas_shape,
+        "meets_200hz_one_chip": bool(hz5a >= TARGET_HZ),
+        "note": ("config-5 head with pose-indexed placement + IMU motion "
+                 "gating (parallel/mesh.py::whole_limb_step_aux)"),
+    }
+    print(f"config5 whole-limb+aux: step p50 {p50_s*1e3:.2f} ms -> "
+          f"{hz5a:.0f} Hz (canvas {canvas_shape})", flush=True)
+
     # --- temperature path at native 4K
     img = cv2.imread(f"{REF}/Final_demos_images/FINAL_TEMP_DEMO.jpg",
                      cv2.IMREAD_COLOR)

@@ -6,7 +6,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT="${1:-.}"
-R="${VISTAF_ROUND:-r03}"
+R="${VISTAF_ROUND:-r04}"
 
 echo "=== goldens (deploy) ==="
 python scripts/run_goldens_suite.py "$OUT/GOLDENS_${R}_deploy.json" deploy
@@ -18,6 +18,10 @@ echo "=== 4K bench ==="
 python scripts/bench_4k.py "$OUT/BENCH_4K_${R}.json"
 echo "=== main bench ==="
 python bench.py
-echo "=== 75-sphere corpus (deploy numerics changed this round) ==="
+echo "=== 75-sphere corpus (deploy) ==="
 python scripts/run_sphere_corpus.py deploy "$OUT/CORPUS_${R}_deploy.json"
+echo "=== 75-sphere corpus (parity) ==="
+python scripts/run_sphere_corpus.py parity "$OUT/CORPUS_${R}_parity.json"
+echo "=== multimodal 4K step bench ==="
+python scripts/bench_mm.py "$OUT/BENCH_MM_${R}.json"
 echo "done — gate with: python -m pytest tests/test_corpus_regression.py -q"
