@@ -61,6 +61,13 @@ def honest(name, jf, *args, n=N_DEFAULT):
 
 
 def main():
+    """Profiles the stages exactly as the chosen preset runs them: at the
+    pipeline's static compute bbox when cfg.crop_compute (deploy crops the
+    per-pixel stages to the outer-ROI bbox and re-embeds) and with the
+    preset's rotate_method/conv_vpu routing.  Usage:
+    python scripts/profile_temp4k.py [deploy|parity]
+    """
+    mode = sys.argv[1] if len(sys.argv) > 1 else "deploy"
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
 
@@ -75,12 +82,21 @@ def main():
     from vistaf_tpu.ops.inpaint import inpaint_within_roi
     from vistaf_tpu.ops.morphology import dilate, ellipse_kernel
 
-    cfg = TempConfig().deploy()
+    cfg = TempConfig().deploy() if mode == "deploy" else TempConfig()
     data_root = "/root/reference"
     color, wide = load_reference_models(data_root)
     pipe = TemperaturePipeline(cfg, color, wide)
     roi_full = np.asarray(pipe._roi_full)
     roi = jnp.asarray(roi_full)
+
+    cb = pipe._compute_bbox
+
+    def crop(a):
+        return a[cb[0]:cb[1], cb[2]:cb[3]] if cb is not None else a
+
+    ch_, cw_ = ((cb[1] - cb[0], cb[3] - cb[2]) if cb is not None else (H, W))
+    print(f"preset={mode}  compute bbox = {ch_}x{cw_} "
+          f"({100.0 * ch_ * cw_ / (H * W):.0f}% of frame)", flush=True)
 
     gray = np.asarray(bgr_to_gray(jnp.asarray(frame)))
     plane = rng.random((H, W)).astype(np.float32) * 20 + 20
@@ -88,30 +104,48 @@ def main():
     nanmap = np.where(holes, np.nan, plane).astype(np.float32)
     csup = roi_full & (rng.random((H, W)) > 0.5)
 
-    honest("bgr_to_gray", jax.jit(lambda f: bgr_to_gray(f)), frame)
-    honest("segment_stripes", jax.jit(lambda g: segment_stripes(g, roi, cfg).roi_eff.astype(jnp.float32)), gray)
+    frame_c, roi_c = crop(frame), crop(roi_full)
+    plane_c, holes_c = crop(plane), crop(holes)
+    nanmap_c, csup_c = crop(nanmap), crop(csup)
+
+    # full-frame stages (run pre-crop in the pipeline)
+    honest("bgr_to_gray (full)", jax.jit(lambda f: bgr_to_gray(f)), frame)
+
+    # reduce EVERY segmentation output: reducing only roi_eff dead-codes the
+    # entire FFT/carrier/ifft2/morphology path (roi_eff needs just the
+    # saturation mask) — that blind spot hid ~60 ms of the round-3 deploy
+    # budget (scripts/profile_seg4k.py has the per-piece breakdown)
+    def seg_all(g):
+        s = segment_stripes(g, roi, cfg, compute_bbox=cb)
+        return (s.dark.astype(jnp.float32), s.light.astype(jnp.float32),
+                s.angle_rad, s.period_px)
+    honest("segment_stripes (all outputs)", jax.jit(seg_all), gray)
+    # per-pixel stages at the preset's compute extent
     honest("blur5x5 u8 x3ch", jax.jit(lambda f: sum(
-        gaussian_blur_u8_round(f[..., i].astype(jnp.float32), cfg.blur_ksize) for i in range(3))), frame)
+        gaussian_blur_u8_round(f[..., i].astype(jnp.float32), cfg.blur_ksize,
+                               vpu=cfg.conv_vpu) for i in range(3))), frame_c)
     honest("dilate13", jax.jit(lambda m: dilate(m, ellipse_kernel(13, 13)).astype(jnp.float32)),
-           csup)
+           csup_c)
     if pipe._fused_fn is not None:
         honest("fused LAB+2models", lambda f, r, c: pipe._fused_fn(f, r, c),
-               frame.astype(np.float32), roi_full, csup, n=10)
+               frame_c.astype(np.float32), roi_c, csup_c, n=10)
     honest(f"inpaint wide ({cfg.wide_inpaint_iters}it, u8)",
            jax.jit(lambda z, r, m: inpaint_within_roi(z, r, m, iters=cfg.wide_inpaint_iters,
                                                       quantize_u8=True)),
-           nanmap, roi_full, holes, n=10)
+           nanmap_c, roi_c, holes_c, n=10)
     honest(f"inpaint color ({cfg.color_inpaint_iters}it, u8)",
            jax.jit(lambda z, r, m: inpaint_within_roi(z, r, m, iters=cfg.color_inpaint_iters,
                                                       quantize_u8=True)),
-           nanmap, csup, holes & csup, n=10)
+           nanmap_c, csup_c, holes_c & csup_c, n=10)
     honest("fuse_per_pixel", jax.jit(lambda r, wm, cm: fuse_maps_per_pixel(r, wm, cm, cfg)[0]),
-           roi_full, plane, nanmap)
-    honest("oriented_blur (2 rot + blur)",
+           roi_c, plane_c, nanmap_c)
+    honest(f"oriented_blur ({cfg.rotate_method})",
            jax.jit(lambda m, r: oriented_gaussian_blur(m, r, jnp.float32(0.3),
                                                        cfg.final_smooth_sigma_across,
-                                                       cfg.final_smooth_sigma_along)),
-           plane, roi_full, n=10)
+                                                       cfg.final_smooth_sigma_along,
+                                                       method=cfg.rotate_method,
+                                                       vpu=cfg.conv_vpu)),
+           plane_c, roi_c, n=10)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,11 @@ class FTPConfig:
     gauss_trunc_radius: float = 24.0
     dc_exclusion: int = 10
     n_fft_peaks: int = 12
+    # carrier-peak search: 'topk' = reference-faithful top-k + filter
+    # cascade (shape_ftp.py:444-463); 'cascade' = the same cascade as fused
+    # masked argmaxes (ops/fftops.py::carrier_peak_cascade) — lax.top_k
+    # sorts the whole spectrum (~5 ms at the 4K crop)
+    peak_method: str = "topk"
 
     # --- Preprocess (shape_ftp.py:34-38, 110-124) ---
     fft_pad_px: int = 96
@@ -311,7 +316,12 @@ class FTPConfig:
                             # full-res deploy solve on the goldens while
                             # the PCG cost drops 16x (4K deploy p50
                             # 118 -> 86.7 ms, GOLDENS_r03_deploy.json).
-                            unwrap_downsample=4)
+                            unwrap_downsample=4,
+                            # carrier search as fused masked argmaxes
+                            # instead of a full-spectrum lax.top_k sort
+                            # (identical pick on all goldens; semantics
+                            # note at fftops.carrier_peak_cascade)
+                            peak_method="cascade")
 
 
 @dataclass(frozen=True)
@@ -355,6 +365,16 @@ class TempConfig:
     seg_peak_max_dy_from_center: float = 0.14
     seg_illum_sigma: float = 20.0
     seg_n_peaks: int = 16
+    # carrier-peak search: 'topk' = reference-faithful top-k + filter
+    # cascade; 'cascade' = the same filter cascade as three fused masked
+    # argmaxes (ops/fftops.py::carrier_peak_cascade; ~0.2 ms vs ~14 ms at
+    # native 4K — lax.top_k sorts)
+    seg_peak_method: str = "topk"
+    # bandpassed inverse transform: 'fft' = full-frame masked ifft2;
+    # 'matmul' = exact two-matmul windowed IDFT around the carrier
+    # (ops/fftops.py::ifft2_bandpass_dynamic; ~0.7 ms vs ~7 ms at 4K,
+    # f32-rounding-level differences only)
+    seg_bandpass: str = "fft"
 
     sat_thresh_gray: int = 245
     sat_dilate_ksize: int = 13
@@ -405,10 +425,11 @@ class TempConfig:
         real chip (GOLDENS_r03_deploy.json): scene temperature means within
         0.073 degC of the reference (0.1 degC contract), the single
         hottest pixel within 0.54 degC (0.75 degC deploy gate)."""
-        return self.replace(percentile_method="hist", use_fused_kernel=True,
+        return self.replace(percentile_method="hist_pallas", use_fused_kernel=True,
                             wide_inpaint_iters=48, color_inpaint_iters=24,
                             rotate_method="shear", crop_compute=True,
-                            conv_vpu=True)
+                            conv_vpu=True, seg_peak_method="cascade",
+                            seg_bandpass="matmul")
 
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5

@@ -97,6 +97,22 @@ def _preprocess(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig) -
     return iw, i_norm
 
 
+def _search_carrier(fft_mag: jnp.ndarray, hf: int, wf: int, cfg: FTPConfig):
+    """Integer carrier bin via the configured method (cfg.peak_method)."""
+    if cfg.peak_method == "cascade":
+        return fftops.carrier_peak_cascade(
+            fft_mag, cfg.dc_exclusion,
+            force_right_half_plane=cfg.force_right_half_plane,
+            prefer_near_center_row=cfg.prefer_peak_near_center_row,
+            peak_max_dy_frac=cfg.peak_max_dy_from_center)
+    xs, ys, mags = fftops.find_top_peaks(fft_mag, cfg.dc_exclusion, cfg.n_fft_peaks)
+    return fftops.choose_carrier_peak(
+        xs, ys, mags, hf, wf,
+        force_right_half_plane=cfg.force_right_half_plane,
+        prefer_near_center_row=cfg.prefer_peak_near_center_row,
+        peak_max_dy_frac=cfg.peak_max_dy_from_center)
+
+
 def ftp_complex_demod(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPConfig,
                       carrier_refined: Optional[jnp.ndarray] = None) -> DemodResult:
     """Demodulate one frame.  With ``carrier_refined`` given, the carrier is
@@ -113,12 +129,7 @@ def ftp_complex_demod(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPCon
     F_shift, fft_mag = fftops.fft2_shifted_mag(iw_fft)
 
     if carrier_refined is None:
-        xs, ys, mags = fftops.find_top_peaks(fft_mag, cfg.dc_exclusion, cfg.n_fft_peaks)
-        px, py = fftops.choose_carrier_peak(
-            xs, ys, mags, hf, wf,
-            force_right_half_plane=cfg.force_right_half_plane,
-            prefer_near_center_row=cfg.prefer_peak_near_center_row,
-            peak_max_dy_frac=cfg.peak_max_dy_from_center)
+        px, py = _search_carrier(fft_mag, hf, wf, cfg)
         fx, fy = fftops.refine_peak_parabolic_log(fft_mag, px, py)
         peak_f = jnp.stack([fx, fy])
     else:
@@ -193,12 +204,7 @@ def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
     F_shift = jnp.fft.fftshift(F, axes=(-2, -1))
     ref_mag = jnp.abs(F_shift[0])
 
-    xs, ys, mags = fftops.find_top_peaks(ref_mag, cfg.dc_exclusion, cfg.n_fft_peaks)
-    px, py = fftops.choose_carrier_peak(
-        xs, ys, mags, hf, wf,
-        force_right_half_plane=cfg.force_right_half_plane,
-        prefer_near_center_row=cfg.prefer_peak_near_center_row,
-        peak_max_dy_frac=cfg.peak_max_dy_from_center)
+    px, py = _search_carrier(ref_mag, hf, wf, cfg)
     fx, fy = fftops.refine_peak_parabolic_log(ref_mag, px, py)
     peak_f = jnp.stack([fx, fy])
 

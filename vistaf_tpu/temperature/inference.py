@@ -209,8 +209,10 @@ class TemperaturePipeline:
 
         gray_raw = bgr_to_gray(frame_bgr)
 
-        # --- segmentation on the unblurred frame (needs the full-frame FFT)
-        seg = segment_stripes(gray_raw, roi_full, cfg)
+        # --- segmentation on the unblurred frame (needs the full-frame FFT;
+        # its post-FFT per-pixel stages run on the compute bbox when set)
+        seg = segment_stripes(gray_raw, roi_full, cfg,
+                              compute_bbox=self._compute_bbox)
 
         # --- from here on everything is per-pixel/local: optionally run it
         # on the static outer-ROI bbox (cfg.crop_compute) and re-embed

@@ -45,7 +45,15 @@ def saturation_mask(gray: jnp.ndarray, roi: jnp.ndarray, cfg: TempConfig) -> jnp
 
 
 def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
-                    cfg: TempConfig) -> SegmentationResult:
+                    cfg: TempConfig,
+                    compute_bbox=None) -> SegmentationResult:
+    """``compute_bbox`` (static ``(y0, y1, x0, x1)``, optional) restricts the
+    post-FFT per-pixel work — carrier field, sign split, morphology — to the
+    outer-ROI bbox and re-embeds.  Exact: every one of those stages is masked
+    by ``roi``/``roi_eff``, which the bbox contains with >= 64 px of pad (see
+    ``TemperaturePipeline._compute_bbox``), so pixels outside the crop are
+    False in every output by construction.  The forward FFT and the carrier
+    search stay full-frame (the spectrum bins are frame-sized)."""
     h, w = image_gray.shape
     gray = image_gray.astype(jnp.float32)
 
@@ -68,47 +76,75 @@ def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
 
     F = jnp.fft.fft2(i_norm)
     F_shift = jnp.fft.fftshift(F)
-    mag = jnp.abs(F_shift)
 
-    xs, ys, mags = fftops.find_top_peaks(mag, cfg.seg_dc_exclusion, cfg.seg_n_peaks)
-    px, py = fftops.choose_carrier_peak(
-        xs, ys, mags, h, w,
-        force_right_half_plane=cfg.seg_force_right_half_plane,
-        prefer_near_center_row=cfg.seg_prefer_peak_near_center_row,
-        peak_max_dy_frac=cfg.seg_peak_max_dy_from_center)
+    if cfg.seg_peak_method == "cascade":
+        # latency path: the filter cascade as fused masked argmaxes (~0.2 ms
+        # at 4K vs ~14 ms for lax.top_k; semantics note in fftops)
+        px, py = fftops.carrier_peak_cascade(
+            jnp.abs(F_shift), cfg.seg_dc_exclusion,
+            force_right_half_plane=cfg.seg_force_right_half_plane,
+            prefer_near_center_row=cfg.seg_prefer_peak_near_center_row,
+            peak_max_dy_frac=cfg.seg_peak_max_dy_from_center)
+    else:
+        xs, ys, mags = fftops.find_top_peaks(jnp.abs(F_shift),
+                                             cfg.seg_dc_exclusion, cfg.seg_n_peaks)
+        px, py = fftops.choose_carrier_peak(
+            xs, ys, mags, h, w,
+            force_right_half_plane=cfg.seg_force_right_half_plane,
+            prefer_near_center_row=cfg.seg_prefer_peak_near_center_row,
+            peak_max_dy_frac=cfg.seg_peak_max_dy_from_center)
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    dist2 = (xx - px.astype(jnp.float32)) ** 2 + (yy - py.astype(jnp.float32)) ** 2
-    bp = dist2 <= float(cfg.seg_band_radius) ** 2
-    z = jnp.fft.ifft2(jnp.fft.ifftshift(F_shift * bp))
+    cb = compute_bbox
+    rows = slice(cb[0], cb[1]) if cb is not None else slice(0, h)
+    cols = slice(cb[2], cb[3]) if cb is not None else slice(0, w)
+
+    def crop(a):
+        return a[rows, cols] if cb is not None else a
+
+    def embed(mask_c):
+        if cb is None:
+            return mask_c
+        full = jnp.zeros((h, w), dtype=mask_c.dtype)
+        return jax.lax.dynamic_update_slice(full, mask_c, (cb[0], cb[2]))
+
+    if cfg.seg_bandpass == "matmul":
+        # two skinny twiddle matmuls over the 45x45 carrier window instead
+        # of a full-frame masked ifft2 — same math (fftops doc), ~10x faster
+        z = fftops.ifft2_bandpass_dynamic(
+            F_shift, px, py, float(cfg.seg_band_radius),
+            rows=rows if cb is not None else None,
+            cols=cols if cb is not None else None)
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        dist2 = (xx - px.astype(jnp.float32)) ** 2 + (yy - py.astype(jnp.float32)) ** 2
+        bp = dist2 <= float(cfg.seg_band_radius) ** 2
+        z = crop(jnp.fft.ifft2(jnp.fft.ifftshift(F_shift * bp)))
+
+    roi_c = crop(roi)
+    roi_eff_c = crop(roi_eff)
+    gray_c = crop(gray)
 
     # rotate so real part aligns with the stripe modulation
-    m = i_norm - 1.0
-    c = jnp.sum(jnp.where(roi_eff, z * m, 0.0))
+    m = crop(i_norm) - 1.0
+    c = jnp.sum(jnp.where(roi_eff_c, z * m, 0.0))
     phi0 = jnp.where(jnp.isfinite(jnp.abs(c)), jnp.angle(c), 0.0)
     s = jnp.real(z * jnp.exp(-1j * phi0)).astype(jnp.float32)
 
-    mask_a = (s >= 0) & roi_eff
-    mask_b = (s < 0) & roi_eff
-    mean_a = masked_mean(gray, mask_a, fallback=1e9)
-    mean_b = masked_mean(gray, mask_b, fallback=1e9)
+    mask_a = (s >= 0) & roi_eff_c
+    mask_b = (s < 0) & roi_eff_c
+    mean_a = masked_mean(gray_c, mask_a, fallback=1e9)
+    mean_b = masked_mean(gray_c, mask_b, fallback=1e9)
     a_is_dark = mean_a <= mean_b
     dark = jnp.where(a_is_dark, mask_a, mask_b)
-    light = jnp.where(a_is_dark, mask_b, mask_a)
 
     # directional morphology cleanup (temperature_sensor.py:390-405);
     # cv2 Size(kx, ky) = (width, height) -> rect_kernel(ky rows, kx cols)
     k_close = rect_kernel(cfg.post_close_ky | 1, cfg.post_close_kx | 1)
     k_open = rect_kernel(cfg.post_open_ky | 1, cfg.post_open_kx | 1)
 
-    def post(mk):
-        out = morph_close(mk, k_close)
-        out = morph_open(out, k_open)
-        return out & roi
-
-    dark = post(dark)
-    dark_final = dark & roi_eff
+    dark = morph_open(morph_close(dark, k_close), k_open) & roi_c
+    dark_final = embed(dark & roi_eff_c)
     light_final = roi_eff & ~dark_final
 
     cy, cx = h // 2, w // 2
