@@ -73,6 +73,19 @@ def test_vmem_budget_gate():
     assert not fits_vmem((1747, 1747))   # native-4K crop -> XLA body
 
 
+def test_loop_kernel_vmem_budget_is_tighter():
+    """The whole-solver kernel keeps ~40 f32 planes on the scoped-VMEM
+    stack vs the per-iteration kernel's ~16, so it must gate on its own
+    budget: at the ecc_downsample=4 4K ROI size (296x384) the loop form
+    measured an 18.16 MB stack against the 16 MiB limit (hard compile
+    error), while the per-iteration kernel still fits — ecc_align must
+    fall back rather than crash."""
+    from vistaf_tpu.pallas.ecc_loop_kernel import fits_vmem_loop
+    assert fits_vmem_loop((236, 236))    # 640x480-scale ROI: loop form OK
+    assert not fits_vmem_loop((296, 384))
+    assert fits_vmem((296, 384))         # ...but the per-iteration form does
+
+
 def test_vmap_batches(rng=None):
     """The 4-stream batched pipeline vmaps ecc_align over streams, which
     vmaps this pallas_call — every operand must live in a batchable memory

@@ -212,10 +212,15 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     if fused:
         smask = (stride_mask if stride_mask is not None
                  else jnp.ones((h, w), jnp.float32))
-        if loop_kernel:
+        from vistaf_tpu.pallas.ecc_loop_kernel import (ecc_loop_euclidean,
+                                                       fits_vmem_loop)
+        # The whole-solver form keeps ~40 planes on the scoped-VMEM stack
+        # (vs ~16 per-iteration), so it has its own tighter size budget;
+        # above it, fall through to the per-iteration fused kernel below
+        # (identical moment algebra, just one launch per GN iteration).
+        if loop_kernel and fits_vmem_loop(template.shape):
             # whole-solver fusion: the while_loop and its 3x3-solve tail run
             # inside the kernel too (pallas/ecc_loop_kernel.py)
-            from vistaf_tpu.pallas.ecc_loop_kernel import ecc_loop_euclidean
             p, rho, it, failed = ecc_loop_euclidean(
                 S_cf, T, smask, K=shear_k, max_iters=max_iters, eps=eps,
                 stall_patience=stall_patience)

@@ -25,7 +25,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vistaf_tpu.pallas.common import padded_elems
 from vistaf_tpu.pallas.ecc_kernel import _pad2, fits_vmem, warp_moment_rows
+
+# The whole-solver kernel's peak scoped-VMEM *stack* is ~40 f32 planes —
+# the six moment rows live across both shear passes of the next iteration's
+# warp inside the while_loop body, unlike the per-iteration kernel
+# (ecc_kernel.py, ~16 planes) where XLA frees them between launches.
+# Measured: 18.16 MB stack at a 296x384 padded input (113,664 elems,
+# ~167 B/elem) vs the 16 MiB scoped limit -> hard compile error.  Budget
+# the loop form separately; above it ``ecc_align`` silently falls back to
+# the per-iteration fused kernel, which is the same numerics.
+_MAX_ELEMS_LOOP = 90_000
+
+
+def fits_vmem_loop(shape) -> bool:
+    return padded_elems(shape) <= _MAX_ELEMS_LOOP
 
 
 def _solve3_adjugate(h00, h01, h02, h11, h12, h22, b0, b1, b2):
