@@ -121,3 +121,66 @@ def test_segment_compute_bbox_exact(bandpass):
     # nothing outside the bbox
     d = np.asarray(s_crop.dark)
     assert not d[:, :x0].any() and not d[:, x1:].any()
+
+
+def test_cascade_vs_topk_divergent_case_pinned():
+    """The documented semantic divergence (ops/fftops.py cascade docstring):
+    a plane whose preferred region (right half, near-row) holds NO global
+    top-16 peak but is non-empty in the full plane.  There the reference's
+    top-k + filter falls back to the unfiltered global peak (left half),
+    while the cascade picks the preferred region's strongest bin.  This
+    pins BOTH behaviors so the divergence stays a documented choice, not an
+    accident — and asserts which preset takes which path."""
+    h, w = 128, 128
+    cy, cx = h // 2, w // 2
+    dc = 10
+    mag = np.full((h, w), 1e-3, np.float32)
+    # 20 strong peaks, all in the LEFT half-plane AND off the near-center
+    # rows (so both reference filters come up empty within the top-16 and
+    # its fallback is the unfiltered global argmax), outside the DC notch
+    off_row = np.concatenate([np.arange(8, cy - 20), np.arange(cy + 21, h - 8)])
+    rng = np.random.default_rng(3)
+    ys = rng.choice(off_row, size=20, replace=False)
+    for i, y in enumerate(ys):
+        mag[y, 12 + (i % 8) * 4] = 100.0 - i
+    # one weak peak in the preferred region (right half, near center row)
+    mag[cy + 3, cx + 20] = 5.0
+    m = jnp.asarray(mag)
+
+    # reference-faithful top-k path: right-half filter is empty within the
+    # top-16, so it falls back and returns the global (left-half) peak
+    xs, ys_, mags = fftops.find_top_peaks(m, dc, 16)
+    px_t, py_t = fftops.choose_carrier_peak(xs, ys_, mags, h, w)
+    assert int(px_t) < cx, "top-k fallback should pick the left-half peak"
+    assert float(mag[int(py_t), int(px_t)]) == 100.0
+
+    # cascade: the preferred region is non-empty in the FULL plane, so it
+    # picks that region's strongest bin
+    px_c, py_c = fftops.carrier_peak_cascade(m, dc)
+    assert (int(px_c), int(py_c)) == (cx + 20, cy + 3)
+
+    # presets: parity keeps the reference-faithful top-k, deploy the cascade
+    from vistaf_tpu.config import FTPConfig
+    assert FTPConfig().peak_method == "topk"
+    assert FTPConfig().deploy().peak_method == "cascade"
+    assert TempConfig().seg_peak_method == "topk"
+    assert TempConfig().deploy().seg_peak_method == "cascade"
+
+
+def test_cascade_vs_topk_agree_when_preferred_region_has_topk_peak():
+    """On any spectrum whose preferred region holds at least one global
+    top-16 peak (every physical stripe/grating frame), the two methods pick
+    the identical bin."""
+    h, w = 128, 128
+    cy, cx = h // 2, w // 2
+    dc = 10
+    mag = np.full((h, w), 1e-3, np.float32)
+    mag[cy - 2, cx - 18] = 90.0          # conjugate (left) peak, stronger
+    mag[cy + 2, cx + 18] = 80.0          # carrier in the preferred region
+    mag[cy + 40, cx + 30] = 85.0         # off-row right-half distractor
+    m = jnp.asarray(mag)
+
+    xs, ys_, mags = fftops.find_top_peaks(m, dc, 16)
+    px_t, py_t = fftops.choose_carrier_peak(xs, ys_, mags, h, w)
+    px_c, py_c = fftops.carrier_peak_cascade(m, dc)
+    assert (int(px_t), int(py_t)) == (int(px_c), int(py_c)) == (cx + 18, cy + 2)
