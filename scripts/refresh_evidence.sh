@@ -24,4 +24,11 @@ echo "=== 75-sphere corpus (parity) ==="
 python scripts/run_sphere_corpus.py parity "$OUT/CORPUS_${R}_parity.json"
 echo "=== multimodal 4K step bench ==="
 python scripts/bench_mm.py "$OUT/BENCH_MM_${R}.json"
-echo "done — gate with: python -m pytest tests/test_corpus_regression.py -q"
+echo "=== ingest-inclusive bench ==="
+python scripts/bench_ingest.py "$OUT/BENCH_INGEST_${R}.json"
+echo "=== multihost full-pipeline (2-process jax.distributed, CPU) ==="
+# the genuine FTP graph crosses a real process boundary once per evidence
+# cycle (multi-minute XLA:CPU compile per rank -> not in the fast suite)
+VISTAF_RUN_SLOW=1 python -m pytest tests/test_parallel.py -q \
+    -k "multihost_whole_limb_step_full" 2>&1 | tee "$OUT/MULTIHOST_FULL_${R}.log"
+echo "done — gate with: python -m pytest tests/test_corpus_regression.py tests/test_bench_artifacts.py -q"

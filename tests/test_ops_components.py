@@ -96,3 +96,34 @@ def test_blob_candidate_eps_pins_razor_bridge_topology():
     assert kept0[16, 36] and kept0[15, 20]
     kept_eps = run(1e-2)   # pinned topology: bridge cut -> lobe dropped
     assert kept_eps[16, 8] and not kept_eps[16, 36]
+
+
+def test_dominant_component_seed_pool_matches_fullres():
+    """The pooled-EDT seed picks the same component as the full-res seed on
+    blob-shaped masks, and degenerate masks (no interior at pooled scale)
+    fall back to the full-res seed path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vistaf_tpu.ops.components import dominant_component
+
+    h, w = 160, 200
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((yy - 80) ** 2 + (xx - 120) ** 2 < 45 ** 2)
+    mask[5:15, 5:15] = True          # distractor blob
+    m = jnp.asarray(mask)
+    full = np.asarray(dominant_component(m))
+    pooled = np.asarray(dominant_component(m, seed_pool=4))
+    np.testing.assert_array_equal(full, pooled)
+
+    # a 1-px-wide mask has no all-true 4x4 block: the fallback must still
+    # return the dominant thin component, not an empty mask
+    thin = np.zeros((64, 64), bool)
+    thin[10, 4:60] = True            # long line (dominant)
+    thin[40, 8:12] = True            # short line
+    out = np.asarray(dominant_component(jnp.asarray(thin), seed_pool=4))
+    assert out[10, 30] and not out[40, 9]
+
+    # empty mask passes through
+    empty = np.zeros((64, 64), bool)
+    out_e = np.asarray(dominant_component(jnp.asarray(empty), seed_pool=4))
+    assert not out_e.any()

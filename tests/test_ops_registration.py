@@ -282,3 +282,93 @@ def test_ecc_downsample_matches_fullres():
     vb = float(np.sum(np.where(both, np.maximum(hb, 0), 0)))
     vd = float(np.sum(np.where(both, np.maximum(hd, 0), 0)))
     assert abs(vd - vb) / max(abs(vb), 1e-9) < 2e-3
+
+
+def test_global_shift_window_matches_fullres():
+    """global_shift_window_px (full-resolution phase correlation on a
+    window around the ROI) must land on the same global shift as the
+    full-frame estimate — the shift is rigid, so any textured window sees
+    it — and the size gate must keep too-small frames on the full path."""
+    import numpy as np
+    from vistaf_tpu.ftp.pipeline import FTPPipeline
+    from vistaf_tpu.utils.synthetic import scaled_ftp_config, synthetic_pair
+
+    H, W = 480, 640
+    cfg = scaled_ftp_config(H, W)
+    p2h = {"type": "hinge_saturating", "params": {"a": 2.08, "b": 4.2, "c": 0.0}}
+    ref, de = synthetic_pair(H, W, cfg)
+    rng = np.random.default_rng(11)
+    tex = np.kron(rng.normal(scale=18.0, size=(H // 16, W // 16)),
+                  np.ones((16, 16)))[:, :, None]
+    ref = np.clip(ref.astype(np.float64) + tex, 0, 255).astype(np.uint8)
+    de = np.clip(de.astype(np.float64) + tex, 0, 255).astype(np.uint8)
+    de = np.roll(de, shift=(4, -2), axis=(0, 1))
+
+    base = FTPPipeline(cfg, p2h, debug_outputs=True)(ref, de)
+    win = FTPPipeline(cfg.replace(global_shift_window_px=256),
+                      p2h, debug_outputs=True)(ref, de)
+
+    sb = np.asarray(base["dbg_global_shift"])
+    sw = np.asarray(win["dbg_global_shift"])
+    assert np.hypot(sb[0], sb[1]) > 1.0
+    assert abs(sb[0] - sw[0]) < 0.2 and abs(sb[1] - sw[1]) < 0.2
+    # frames smaller than window + 2*margin stay on the full-frame path
+    gated = FTPPipeline(cfg.replace(global_shift_window_px=2048),
+                        p2h, debug_outputs=True)(ref, de)
+    sg = np.asarray(gated["dbg_global_shift"])
+    np.testing.assert_allclose(sg, sb, atol=1e-6)
+
+
+def test_ecc_align_p_init_seeds_the_solve(rng):
+    """A near-true seed converges to the true warp, and in fewer GN
+    iterations than the identity start needs."""
+    ref = _textured(rng, 120, 120)
+    th = 0.05
+    true_M = np.array([[np.cos(th), -np.sin(th), 4.5],
+                       [np.sin(th), np.cos(th), -5.0]], np.float32)
+    mov = cv2.warpAffine(ref, true_M, (120, 120),
+                         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                         borderMode=cv2.BORDER_REFLECT)
+    mask = np.ones((120, 120), dtype=bool)
+
+    seed = jnp.asarray([th, 4.5, -5.0], jnp.float32)
+    warp_s, rho_s, it_s = registration.ecc_align(
+        jnp.asarray(mov), jnp.asarray(ref), jnp.asarray(mask),
+        mode="euclidean", max_iters=100, eps=1e-7, p_init=seed)
+    np.testing.assert_allclose(np.asarray(warp_s), true_M, atol=0.02)
+    assert float(rho_s) > 0.99
+
+    warp_i, _, it_i = registration.ecc_align(
+        jnp.asarray(mov), jnp.asarray(ref), jnp.asarray(mask),
+        mode="euclidean", max_iters=100, eps=1e-7)
+    np.testing.assert_allclose(np.asarray(warp_i), true_M, atol=0.02)
+    assert int(it_s) < int(it_i)
+
+
+def test_ecc_coarse_to_fine_matches_plain_downsample():
+    """ecc_polish_iters (coarse ds=4 descent + short polish on the ds grid)
+    must land on the same warp as the plain ds-grid solve."""
+    import numpy as np
+    from vistaf_tpu.ftp.pipeline import FTPPipeline
+    from vistaf_tpu.utils.synthetic import scaled_ftp_config, synthetic_pair
+
+    H, W = 480, 640
+    cfg = scaled_ftp_config(H, W)
+    p2h = {"type": "hinge_saturating", "params": {"a": 2.08, "b": 4.2, "c": 0.0}}
+    ref, de = synthetic_pair(H, W, cfg)
+
+    plain = FTPPipeline(cfg.replace(ecc_downsample=2, ecc_downsample_min_px=64),
+                        p2h, debug_outputs=True)(ref, de)
+    c2f = FTPPipeline(cfg.replace(ecc_downsample=2, ecc_downsample_min_px=64,
+                                  ecc_polish_iters=10),
+                      p2h, debug_outputs=True)(ref, de)
+
+    wp = np.asarray(plain["dbg_ecc_warp"])
+    wc = np.asarray(c2f["dbg_ecc_warp"])
+    assert abs(wp[0, 2] - wc[0, 2]) < 0.15 and abs(wp[1, 2] - wc[1, 2]) < 0.15
+    np.testing.assert_allclose(wp[:, :2], wc[:, :2], atol=2e-4)
+    hb, hd = plain["height_map_mm_crop"], c2f["height_map_mm_crop"]
+    both = np.isfinite(hb) & np.isfinite(hd)
+    vb = float(np.sum(np.where(both, np.maximum(hb, 0), 0)))
+    vd = float(np.sum(np.where(both, np.maximum(hd, 0), 0)))
+    assert abs(vd - vb) / max(abs(vb), 1e-9) < 2e-3

@@ -34,3 +34,41 @@ def test_contact_hysteresis():
     assert bool(out["in_contact"][0])              # stays (above off-threshold)
     state, out = streaming.update(state, jnp.asarray([0.05]))
     assert not bool(out["in_contact"][0])          # released
+
+
+def test_run_overlapped_matches_serialized():
+    """Double-buffered ingest must produce exactly the serialized results
+    (same state evolution, same outputs) — only the upload scheduling
+    differs."""
+    class FakeBatched:
+        def batched(self):
+            def fn(refs, frames):
+                f = jnp.mean(frames.astype(jnp.float32), axis=(1, 2, 3))
+                return {"force_N": f, "max_depth_mm": f * 0.1}
+            return fn
+
+    S = 3
+    sf_a = streaming.StreamingForce(FakeBatched(), S, window=4)
+    sf_b = streaming.StreamingForce(FakeBatched(), S, window=4)
+    rng = np.random.default_rng(0)
+    refs = rng.integers(0, 255, size=(S, 8, 8, 3)).astype(np.uint8)
+    seq = [rng.integers(0, 255, size=(S, 8, 8, 3)).astype(np.uint8)
+           for _ in range(6)]
+
+    outs_overlap = sf_a.run_overlapped(refs, seq)
+    outs_serial = [sf_b(refs, fb) for fb in seq]
+    assert len(outs_overlap) == len(outs_serial) == 6
+    for a, b in zip(outs_overlap, outs_serial):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0)
+
+
+def test_run_overlapped_empty_sequence():
+    class FakeBatched:
+        def batched(self):
+            return lambda refs, frames: {
+                "force_N": jnp.zeros(frames.shape[0]),
+                "max_depth_mm": jnp.zeros(frames.shape[0])}
+
+    sf = streaming.StreamingForce(FakeBatched(), 2, window=4)
+    assert sf.run_overlapped(np.zeros((2, 4, 4, 3), np.uint8), []) == []

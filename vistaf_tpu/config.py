@@ -159,6 +159,17 @@ class FTPConfig:
     # 1 = reference-faithful full-resolution estimation.
     ecc_downsample: int = 1
     ecc_downsample_min_px: int = 1024
+    # coarse-to-fine ECC: solve first on an ecc_coarse_downsample-pooled
+    # crop (cheap GN iterations), then seed the ecc_downsample-grid solve
+    # with the scaled coarse warp and run at most ecc_polish_iters
+    # refinement iterations there.  The final basin is solved on the SAME
+    # grid as the plain ecc_downsample solve, so accuracy tracks that
+    # preset (the pure ds=4 solve was measured outside the 1% contract on
+    # FINAL_E, KNOBS_4K_r04.json; the hybrid keeps ds=4 only for the
+    # initial descent).  0 = off.  Engages with the same min_px gate as
+    # ecc_downsample.
+    ecc_coarse_downsample: int = 4
+    ecc_polish_iters: int = 0
     global_shift_blur_sigma: float = 7.0
     # bound for the dynamic-slice translation warp (px)
     global_shift_max_px: int = 96
@@ -173,6 +184,23 @@ class FTPConfig:
     # (tests/test_ops_registration.py).
     global_shift_downsample: int = 1
     global_shift_downsample_min_px: int = 1024
+    # cross-power normalization regularizer for the POOLED phase
+    # correlation: P/(|P| + eps*max|P|) instead of cv2's P/|P| whitening.
+    # The round-3 incident (FINAL_F +77%) was the whitening amplifying
+    # blur-zeroed bins to unit magnitude on the 2x2-pooled spectrum; the
+    # regularized form damps exactly those bins.  Applied only on the
+    # pooled path (the full-frame path stays cv2-faithful).
+    global_shift_pc_eps: float = 0.0
+    # full-RESOLUTION phase-correlation window (square, px), centered on
+    # the ROI bbox: unlike the rejected pooled knob above, this narrows the
+    # field of view instead of decimating the spectrum, so every retained
+    # frequency keeps its full-resolution phase and the sigma-7 P/|P|
+    # roundoff pathology does not arise.  The global shift is a rigid
+    # camera translation, so any sufficiently textured window sees it; the
+    # ROI (printed grating) is the most textured region of the frame.
+    # 0 = reference-faithful full-frame correlation.  Engages only when
+    # the frame exceeds window + 2*margin in both dimensions.
+    global_shift_window_px: int = 0
 
     # --- Grating-band prealignment (shape_ftp.py:184-197, 1542-1616) ---
     # second ECC pass on highpassed gratings over the band between the
@@ -249,6 +277,14 @@ class FTPConfig:
     # 'label' = exact largest-by-area CC; 'seed_edt' = component containing
     # the deepest interior point via geodesic reconstruction (deploy mode)
     largest_cc_method: str = "label"
+    # seed_edt's EDT runs on a cc_seed_pool-min-pooled mask (16x less
+    # jump-flooding work at 4): the deepest interior point of the pooled
+    # mask maps to a pixel >= pool-width inside the same full-res blob, and
+    # the full-res geodesic reconstruction from it is unchanged.  Only the
+    # SEED selection coarsens; masks whose deepest pooled blob differs from
+    # the deepest full-res blob could pick a different component (gated by
+    # the goldens + corpus like every seed_edt deviation).  1 = full-res.
+    cc_seed_pool: int = 1
 
     # --- Image geometry (static shapes; reference is 3840x2160) ---
     image_height: int = 2160
@@ -309,6 +345,34 @@ class FTPConfig:
                             # correlation is roundoff-fragile on real
                             # frames (see docs/PERF.md).
                             ecc_downsample=2,
+                            # coarse-to-fine: ds=4 descent + <=10 GN
+                            # polish iterations on the ds=2 grid (the same
+                            # grid the plain deploy solve used; measured
+                            # bit-same forces on the bisected golden, r5)
+                            ecc_polish_iters=10,
+                            # global_shift_window_px stays OFF: the
+                            # full-resolution 2048^2 ROI window is 10.7 ->
+                            # 1.8 ms but its shift estimate differs from
+                            # the full-frame one by ~0.3 px (different
+                            # content), which moved the lightest-contact
+                            # golden +0.38% -> +1.16% force — outside the
+                            # 1% contract (scripts/bisect_r05_knobs.py).
+                            # A grating-centered window also risks the
+                            # period-ambiguity failure mode on periodic
+                            # content.  The deploy PC win is instead the
+                            # estimate-preserving internal rewrite in
+                            # ops/registration.py::phase_correlate.
+                            # pooled-EDT seed for the dominant-component
+                            # selection (4.5 -> 1.4 ms at the 4K crop;
+                            # bit-same force on the bisected golden)
+                            cc_seed_pool=4,
+                            # glare-hole diffusion budget: the XLA
+                            # relaxation loop is HBM-bound at 4.3 ms/pair
+                            # x64 iters and the dilated glare specks are
+                            # <=10 px wide, so 20 iterations over-cover
+                            # the fill radius; bisected TEMP_DEMO +0.50%,
+                            # F +0.75%, E +0.73% — in contract (r5)
+                            inpaint_iters=20,
                             # coarse-grid WLS unwrap + full-res congruence
                             # projection (also min_px-gated to native 4K):
                             # the projection snaps to wrapped + 2*pi*k, so

@@ -175,6 +175,76 @@ def ftp_complex_demod(gray: jnp.ndarray, apo: Optional[jnp.ndarray], cfg: FTPCon
     return DemodResult(complex_demod, amp, peak_f, k, (hf, wf), i_norm)
 
 
+def _demod_pair_rfft(iw_pair: jnp.ndarray, i_norm_pair: jnp.ndarray,
+                     iw_fft: jnp.ndarray, h: int, w: int, cfg: FTPConfig
+                     ) -> Tuple[DemodResult, DemodResult]:
+    """Half-spectrum demod-pair tail (see ``ftp_complex_demod_pair``).
+
+    Works in the row-shifted rfft layout: ``Rr[r, k] == F_shift[r, cx + k]``
+    for kx = k in [0, cx].  The carrier search / parabolic refinement read
+    the half-plane magnitude; the sideband patch is sliced from the
+    half-spectrum extended with ``bw`` Hermitian-mirrored negative-kx
+    columns, so every bin equals its full-``fft2`` counterpart up to
+    rfft-vs-fft rounding dust.
+    """
+    _, hf, wf = iw_fft.shape
+    cy, cx = hf // 2, wf // 2
+    pad = int(max(0, cfg.fft_pad_px))
+    bw = int(max(3, cfg.patch_half_width_bins))
+    psz = 2 * bw + 1
+
+    R = jnp.fft.rfft2(iw_fft, axes=(-2, -1))
+    Rr = jnp.roll(R, cy, axis=-2)                    # rows -> shifted layout
+    mag_half = jnp.abs(Rr[0])                        # (hf, cx + 1)
+
+    # cascade over the half-plane (force_right_half_plane is a precondition)
+    dc = int(cfg.dc_exclusion)
+    iy = jax.lax.broadcasted_iota(jnp.int32, mag_half.shape, 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, mag_half.shape, 1)
+    notch = (ik < dc) & (iy >= cy - dc) & (iy < cy + dc)
+    m1 = (~notch) & (ik >= 1)                        # x > cx in full coords
+    if cfg.prefer_peak_near_center_row is not None and cfg.prefer_peak_near_center_row:
+        max_dy = jnp.int32(int(cfg.peak_max_dy_from_center * hf))
+        m2 = m1 & (jnp.abs(iy - cy) <= max_dy)
+    else:
+        m2 = m1
+    neg = jnp.float32(-3.0e38)
+    i2 = jnp.argmax(jnp.where(m2, mag_half, neg))
+    i1 = jnp.argmax(jnp.where(m1, mag_half, neg))
+    idx = jnp.where(jnp.any(m2), i2, i1)
+    kw = mag_half.shape[1]
+    k_i0 = (idx % kw).astype(jnp.int32)
+    py0 = (idx // kw).astype(jnp.int32)
+
+    fx_h, fy = fftops.refine_peak_parabolic_log(mag_half, k_i0, py0)
+    peak_f = jnp.stack([fx_h + jnp.float32(cx), fy])
+    px_i = jnp.round(peak_f[0]).astype(jnp.int32)
+    py_i = jnp.round(peak_f[1]).astype(jnp.int32)
+    k_i = px_i - cx
+
+    # Hermitian extension: bw negative-kx columns so a low-frequency
+    # carrier's patch stays inside the slice
+    mirror = jnp.conj(jnp.roll(jnp.flip(Rr, axis=-2), 1, axis=-2))
+    ext_left = mirror[:, :, 1:bw + 1][..., ::-1]
+    E = jnp.concatenate([ext_left, Rr], axis=-1)     # cols <-> kx in [-bw, cx]
+
+    patch = jax.lax.dynamic_slice(E, (0, py_i - bw, k_i), (2, psz, psz))
+    if cfg.patch_window == "hann":
+        patch = patch * jnp.asarray(hann_patch(psz, psz))[None]
+    field = fftops.ifft2_sparse_patch(patch, hf, wf, cy - psz // 2, cx - psz // 2)
+    dpx = peak_f[0] - px_i.astype(jnp.float32)
+    dpy = peak_f[1] - py_i.astype(jnp.float32)
+    field = field * fftops.frac_ramp(hf, wf, dpx, dpy, sign=-1.0)[None]
+
+    if pad > 0:
+        field = field[:, pad:pad + h, pad:pad + w]
+    amp = jnp.abs(field).astype(jnp.float32)
+    k = jnp.stack([peak_f[0] - cx, peak_f[1] - cy])
+    dref = DemodResult(field[0], amp[0], peak_f, k, (hf, wf), i_norm_pair[0])
+    ddef = DemodResult(field[1], amp[1], peak_f, k, (hf, wf), i_norm_pair[1])
+    return dref, ddef
+
+
 def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
                            apo: Optional[jnp.ndarray], cfg: FTPConfig
                            ) -> Tuple[DemodResult, DemodResult]:
@@ -186,6 +256,14 @@ def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
     this halves the demod kernel count).  Only the carrier search reads the
     reference spectrum.  Numerics are identical to two sequential
     ``ftp_complex_demod`` calls with a locked carrier.
+
+    When the carrier search is constrained to the right half-plane and the
+    sideband method is patch_shift (both reference defaults), the forward
+    transform runs as an ``rfft2`` on the real pair — the input is real, so
+    the right half-plane IS the full information content and the few
+    negative-kx patch columns a low-frequency carrier could touch are
+    reconstructed from Hermitian symmetry (F(-k) = conj(F(k))).  Identical
+    bins, half the forward-FFT work, and no full-plane fftshift copies.
     """
     h, w = gray_ref.shape
     stack = jnp.stack([gray_ref, gray_def], axis=0)
@@ -199,6 +277,10 @@ def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
         iw_fft = iw_pair
     _, hf, wf = iw_fft.shape
     cy, cx = hf // 2, wf // 2
+
+    if (cfg.sideband_method == "patch_shift" and cfg.force_right_half_plane
+            and cfg.peak_method == "cascade" and hf % 2 == 0 and wf % 2 == 0):
+        return _demod_pair_rfft(iw_pair, i_norm_pair, iw_fft, h, w, cfg)
 
     F = jnp.fft.fft2(iw_fft, axes=(-2, -1))
     F_shift = jnp.fft.fftshift(F, axes=(-2, -1))

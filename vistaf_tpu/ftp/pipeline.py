@@ -142,6 +142,21 @@ class FTPPipeline:
             hh = (cfg.image_height // gsd) * gsd
             ww = (cfg.image_width // gsd) * gsd
             self._hann_pooled = hanning_window(hh // gsd, ww // gsd)
+        # full-resolution phase-correlation window around the ROI bbox
+        # (static coordinates; margin covers the sigma-7 blur reach so
+        # crop-then-blur equals blur-then-crop on the window interior)
+        gsw = int(cfg.global_shift_window_px)
+        self._gsw_margin = 32
+        self._use_gsw = (gsw > 0
+                         and cfg.image_height >= gsw + 2 * self._gsw_margin
+                         and cfg.image_width >= gsw + 2 * self._gsw_margin)
+        if self._use_gsw:
+            m = self._gsw_margin
+            cyb = (g.bbox[2] + g.bbox[3]) // 2
+            cxb = (g.bbox[0] + g.bbox[1]) // 2
+            self._gsw_y0 = min(max(m, cyb - gsw // 2), cfg.image_height - gsw - m)
+            self._gsw_x0 = min(max(m, cxb - gsw // 2), cfg.image_width - gsw - m)
+            self._hann_win = hanning_window(gsw, gsw)
 
         self._forward = jax.jit(self._forward_impl)
 
@@ -179,7 +194,8 @@ class FTPPipeline:
         if cfg.reliable_keep_largest_cc:
             if cfg.largest_cc_method == "seed_edt":
                 from vistaf_tpu.ops.components import dominant_component
-                reliable = dominant_component(reliable) & roi
+                reliable = dominant_component(
+                    reliable, seed_pool=int(cfg.cc_seed_pool)) & roi
             else:
                 reliable = largest_component(reliable) & roi
         if cfg.reliable_edge_margin_px > 0:
@@ -272,7 +288,24 @@ class FTPPipeline:
         # --- global shift via windowed phase correlation (shape_ftp.py:1486-1492)
         gs_dx = jnp.float32(0.0)
         gs_dy = jnp.float32(0.0)
-        if cfg.apply_global_shift:
+        if cfg.apply_global_shift and self._use_gsw:
+            # full-resolution windowed correlation: blur only the window
+            # (+margin so the interior matches the full-frame blur), then
+            # correlate at native resolution — no spectrum decimation
+            gsw = int(cfg.global_shift_window_px)
+            m = self._gsw_margin
+            y0, x0 = self._gsw_y0, self._gsw_x0
+            sub = gray_pair[:, y0 - m:y0 + gsw + m, x0 - m:x0 + gsw + m]
+            sub_b = jax.vmap(
+                lambda g: gaussian_blur(g, cfg.global_shift_blur_sigma,
+                                        vpu=cfg.conv_vpu))(sub)
+            win = sub_b[:, m:m + gsw, m:m + gsw]
+            dx, dy, _resp = phase_correlate(win[0], win[1],
+                                            jnp.asarray(self._hann_win))
+            gs_dx, gs_dy = dx, dy
+            def_gray_full = translate_bilinear(def_gray_full, dx, dy,
+                                               max_shift=cfg.global_shift_max_px)
+        elif cfg.apply_global_shift:
             blur_pair = jax.vmap(
                 lambda g: gaussian_blur(g, cfg.global_shift_blur_sigma,
                                         vpu=cfg.conv_vpu))(gray_pair)
@@ -286,8 +319,9 @@ class FTPPipeline:
                 hh, ww = (fh // gsd) * gsd, (fw // gsd) * gsd
                 pooled = blur_pair[:, :hh, :ww].reshape(
                     2, hh // gsd, gsd, ww // gsd, gsd).mean(axis=(2, 4))
-                dx, dy, _resp = phase_correlate(pooled[0], pooled[1],
-                                                jnp.asarray(self._hann_pooled))
+                dx, dy, _resp = phase_correlate(
+                    pooled[0], pooled[1], jnp.asarray(self._hann_pooled),
+                    norm_eps=float(cfg.global_shift_pc_eps))
                 dx = dx * float(gsd)
                 dy = dy * float(gsd)
             else:
@@ -317,26 +351,53 @@ class FTPPipeline:
             # bench-scale crop is already VMEM-fused.
             ds = int(cfg.ecc_downsample)
             use_ds = (ds > 1 and min(g.crop_h, g.crop_w) >= cfg.ecc_downsample_min_px)
-            if use_ds:
-                hh = (g.crop_h // ds) * ds
-                ww = (g.crop_w // ds) * ds
+
+            def _pool_crop(d):
+                hh = (g.crop_h // d) * d
+                ww = (g.crop_w // d) * d
                 pooled = crop01[:, :hh, :ww].reshape(
-                    2, hh // ds, ds, ww // ds, ds).mean(axis=(2, 4))
+                    2, hh // d, d, ww // d, d).mean(axis=(2, 4))
                 circ_p = (circ[:hh, :ww].astype(jnp.float32).reshape(
-                    hh // ds, ds, ww // ds, ds).mean(axis=(1, 3)) > 0.5)
+                    hh // d, d, ww // d, d).mean(axis=(1, 3)) > 0.5)
+                return pooled, circ_p, max(4, -(-cfg.ecc_shear_k // d))
+
+            cds = int(cfg.ecc_coarse_downsample)
+            use_c2f = (use_ds and int(cfg.ecc_polish_iters) > 0
+                       and cds > ds and cfg.ecc_warp_mode == "euclidean")
+            p_seed = None
+            if use_c2f:
+                # coarse descent on the cds grid; the basin is then polished
+                # on the SAME ds grid the plain deploy solve used, so the
+                # converged warp matches that preset's accuracy (the pure
+                # cds solve alone was measured outside the 1% contract)
+                pooled_c, circ_c, k_c = _pool_crop(cds)
+                warp_c, _rho_c, _it_c = ecc_align(
+                    pooled_c[0], pooled_c[1], circ_c, mode=cfg.ecc_warp_mode,
+                    max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
+                    stride=cfg.ecc_stride, sampler=cfg.ecc_sampler,
+                    shear_k=k_c, stall_patience=cfg.ecc_stall_patience,
+                    loop_kernel=False)
+                theta_c = jnp.arctan2(warp_c[1, 0], warp_c[0, 0])
+                p_seed = jnp.stack([theta_c,
+                                    warp_c[0, 2] * (float(cds) / float(ds)),
+                                    warp_c[1, 2] * (float(cds) / float(ds))])
+            if use_ds:
+                pooled, circ_p, shear_k_eff = _pool_crop(ds)
                 ecc_in0, ecc_in1, ecc_mask = pooled[0], pooled[1], circ_p
-                shear_k_eff = max(4, -(-cfg.ecc_shear_k // ds))
             else:
                 ecc_in0, ecc_in1, ecc_mask = crop01[0], crop01[1], circ
                 shear_k_eff = cfg.ecc_shear_k
             warp, _rho, _it = ecc_align(ecc_in0, ecc_in1, ecc_mask,
                                         mode=cfg.ecc_warp_mode,
-                                        max_iters=cfg.ecc_iters, eps=cfg.ecc_eps,
+                                        max_iters=(int(cfg.ecc_polish_iters)
+                                                   if use_c2f else cfg.ecc_iters),
+                                        eps=cfg.ecc_eps,
                                         stride=cfg.ecc_stride,
                                         sampler=cfg.ecc_sampler,
                                         shear_k=shear_k_eff,
                                         stall_patience=cfg.ecc_stall_patience,
-                                        loop_kernel=cfg.ecc_loop_kernel)
+                                        loop_kernel=cfg.ecc_loop_kernel,
+                                        p_init=p_seed)
             if use_ds:
                 # rotation is scale-invariant; translations scale with ds
                 warp = warp.at[:, 2].multiply(float(ds))

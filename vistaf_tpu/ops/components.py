@@ -95,14 +95,48 @@ def largest_component(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.any(mask), out, mask)
 
 
-@jax.jit
-def dominant_component(mask: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("seed_pool",))
+def dominant_component(mask: jnp.ndarray, seed_pool: int = 1) -> jnp.ndarray:
     """Component containing the mask's deepest interior point (EDT argmax),
     via geodesic reconstruction — a cheap stand-in for largest_component on
     masks shaped like this sensor's reliable region (one dominant blob plus
     specks), where deepest-inscribed-disk == largest-area.
 
-    Deploy-mode alternative selected by FTPConfig.largest_cc_method."""
+    ``seed_pool`` > 1 runs the EDT on a min-pooled mask (pool^2 less
+    jump-flooding work): the pooled deepest point maps to a full-res pixel
+    at least ``seed_pool`` px inside the same blob, and the full-res
+    reconstruction is unchanged.  If the mask has no all-true pool block
+    (no interior at the pooled scale), the full-res EDT seed runs instead.
+
+    Deploy-mode alternative selected by FTPConfig.largest_cc_method /
+    cc_seed_pool."""
+    from vistaf_tpu.ops.distance import distance_transform_edt
+    from vistaf_tpu.ops.morphology import reconstruct
+
+    h, w = mask.shape
+    if seed_pool > 1 and min(h, w) >= 8 * seed_pool:
+        ds = int(seed_pool)
+        hh, ww = (h // ds) * ds, (w // ds) * ds
+        mp = mask[:hh, :ww].reshape(hh // ds, ds, ww // ds, ds).all(axis=(1, 3))
+        dist = distance_transform_edt(mp)
+        sf = jnp.argmax(dist.ravel())
+        sy = (sf // mp.shape[1]).astype(jnp.int32) * ds + ds // 2
+        sx = (sf % mp.shape[1]).astype(jnp.int32) * ds + ds // 2
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        seed = ((yy == sy) & (xx == sx)) & mask
+        out = reconstruct(seed, mask)
+        # degenerate: a mask with no interior at the pooled scale (argmax
+        # lands on dist==0) gets the full-res seed path — under lax.cond so
+        # the expensive full-res EDT only executes when actually needed
+        ok = jnp.any(seed) & (dist.ravel()[sf] > 0)
+        out = jax.lax.cond(ok, lambda _: out,
+                           lambda _: _dominant_component_fine(mask), None)
+        return jnp.where(jnp.any(mask), out, mask)
+    return jnp.where(jnp.any(mask), _dominant_component_fine(mask), mask)
+
+
+def _dominant_component_fine(mask: jnp.ndarray) -> jnp.ndarray:
     from vistaf_tpu.ops.distance import distance_transform_edt
     from vistaf_tpu.ops.morphology import reconstruct
 
@@ -110,8 +144,7 @@ def dominant_component(mask: jnp.ndarray) -> jnp.ndarray:
     dist = distance_transform_edt(mask)
     seed_flat = jnp.argmax(dist.ravel())
     seed = jnp.zeros((h * w,), bool).at[seed_flat].set(True).reshape(h, w) & mask
-    out = reconstruct(seed, mask)
-    return jnp.where(jnp.any(mask), out, mask)
+    return reconstruct(seed, mask)
 
 
 @functools.partial(jax.jit, static_argnames=("min_area_px",))

@@ -13,7 +13,7 @@ termination rule (|rho - last_rho| < eps or max iters).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,13 +24,21 @@ import jax.numpy as jnp
 # Phase correlation
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("norm_eps",))
 def phase_correlate(src1: jnp.ndarray, src2: jnp.ndarray,
-                    window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    window: jnp.ndarray, norm_eps: float = 0.0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """cv2.phaseCorrelate equivalent.
 
     Returns (dx, dy, response): the translation of ``src1`` relative to
     ``src2`` (so translating src2 by (+dx, +dy) aligns it with src1).
+
+    ``norm_eps`` > 0 regularizes the cross-power normalization to
+    P / (|P| + norm_eps * max|P|): the pure P/|P| whitening amplifies the
+    noise-dominated bins a pre-blur has driven to ~0 to unit magnitude
+    (the round-3 pooled-global-shift incident, docs/PERF.md) — the
+    regularized form keeps the strong-signal bins' unit phase weight but
+    damps bins with no coherent signal.  0.0 = cv2-faithful whitening.
     """
     h, w = src1.shape
     a = src1.astype(jnp.float32) * window
@@ -43,7 +51,11 @@ def phase_correlate(src1: jnp.ndarray, src2: jnp.ndarray,
     # transforms run as ONE batched rfft2 (the graph is launch-bound).
     F = jnp.fft.rfft2(jnp.stack([a, b]), axes=(-2, -1))
     P = F[0] * jnp.conj(F[1])
-    P = P / jnp.maximum(jnp.abs(P), 1e-20)
+    mag = jnp.abs(P)
+    if norm_eps and norm_eps > 0.0:
+        P = P / (mag + jnp.float32(norm_eps) * jnp.max(mag) + 1e-30)
+    else:
+        P = P / jnp.maximum(mag, 1e-20)
     C = jnp.fft.irfft2(P, s=(h, w))
     C = jnp.fft.fftshift(C)
 
@@ -72,6 +84,7 @@ def phase_correlate(src1: jnp.ndarray, src2: jnp.ndarray,
     dy = center_y - cy
     response = s / (h * w)
     return dx, dy, response
+
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +134,8 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
               mask: jnp.ndarray, mode: str = "euclidean",
               max_iters: int = 300, eps: float = 1e-7, stride: int = 1,
               sampler: str = "gather", shear_k: int = 4,
-              stall_patience: int = 0, loop_kernel: bool = False):
+              stall_patience: int = 0, loop_kernel: bool = False,
+              p_init: Optional[jnp.ndarray] = None):
     """Find warp p maximizing the enhanced correlation coefficient between
     ``template`` and ``image`` sampled at W(x; p).
 
@@ -138,6 +152,12 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
     on TPU) with the gather-free two-pass shear warp (valid for residual
     warps within ±(shear_k-1) px — the post-global-shift regime); 'gather'
     is the reference-faithful default.
+
+    ``p_init`` seeds the Gauss-Newton iteration with a warp-parameter
+    vector instead of the identity (the coarse-to-fine polish path: the
+    coarse-grid solution, translations rescaled by the caller).  Not
+    supported by the whole-solver loop kernel — the caller gets the
+    per-iteration/XLA path when a seed is given.
 
     ``stall_patience`` > 0 adds a divergence early-out: stop once rho has
     not improved on its running best for that many consecutive iterations.
@@ -186,7 +206,8 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
             T = T[::stride, ::stride]
     tcol = T.ravel()
 
-    p0 = jnp.zeros((n_params,), jnp.float32)
+    p0 = (jnp.zeros((n_params,), jnp.float32) if p_init is None
+          else p_init.astype(jnp.float32).reshape(n_params))
     eye = 1e-12 * jnp.eye(n_params, dtype=jnp.float32)
 
     def _sample(p):
@@ -218,7 +239,9 @@ def ecc_align(template: jnp.ndarray, image: jnp.ndarray,
         # (vs ~16 per-iteration), so it has its own tighter size budget;
         # above it, fall through to the per-iteration fused kernel below
         # (identical moment algebra, just one launch per GN iteration).
-        if loop_kernel and fits_vmem_loop(template.shape):
+        # It always starts from the identity, so a seeded solve also takes
+        # the per-iteration path.
+        if loop_kernel and p_init is None and fits_vmem_loop(template.shape):
             # whole-solver fusion: the while_loop and its 3x3-solve tail run
             # inside the kernel too (pallas/ecc_loop_kernel.py)
             p, rho, it, failed = ecc_loop_euclidean(

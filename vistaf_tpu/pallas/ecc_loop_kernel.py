@@ -36,7 +36,10 @@ from vistaf_tpu.pallas.ecc_kernel import _pad2, fits_vmem, warp_moment_rows
 # ~167 B/elem) vs the 16 MiB scoped limit -> hard compile error.  Budget
 # the loop form separately; above it ``ecc_align`` silently falls back to
 # the per-iteration fused kernel, which is the same numerics.
-_MAX_ELEMS_LOOP = 90_000
+_BYTES_PER_ELEM_LOOP = 167          # measured: 18.16 MB / 113,664 elems
+_VMEM_SCOPED_LIMIT = 16 * 2 ** 20
+_VMEM_MARGIN = 0.90                 # headroom for Mosaic spill slack
+_MAX_ELEMS_LOOP = int(_VMEM_MARGIN * _VMEM_SCOPED_LIMIT / _BYTES_PER_ELEM_LOOP)
 
 
 def fits_vmem_loop(shape) -> bool:

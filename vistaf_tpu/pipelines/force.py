@@ -111,3 +111,80 @@ class ForcePipeline:
             "mm_per_px": mm_per_px,
         })
         return res
+
+    # ------------------------------------------------------------------
+    # BASELINE configs 2/3 surfaces
+    # ------------------------------------------------------------------
+    def contact_classification_device(self):
+        """BASELINE config 2: full preprocessing chain -> per-taxel contact
+        classification, as one jittable device function.
+
+        The FTP registration/normalization stages ARE the preprocessing
+        chain (global-shift rectification + crop + illumination normalize),
+        and the per-pixel depth > eps decision is the per-taxel contact
+        classifier the reference's volume integration thresholds on
+        (``force_sensor.py:93-123``).  Returns
+        (contact_mask bool (crop_h, crop_w), contact_area_mm2, depth_mm)."""
+        eps = self.force_cfg.depth_eps_mm
+        pitch = self.force_cfg.grating_pitch_mm
+        override = self.force_cfg.override_mm_per_px
+
+        def fn(ref_bgr, def_bgr):
+            out = self.ftp._forward_impl(ref_bgr, def_bgr)
+            height = out["height_map_mm_crop"]
+            roi = jnp.isfinite(height)
+            mm_per_px = (jnp.float32(override) if override is not None
+                         else pitch / jnp.maximum(out["est_period_px"], 1e-12))
+            Zf = jnp.where(roi, jnp.where(jnp.isfinite(height), height, 0.0), 0.0)
+            pos = jnp.clip(Zf, 0.0, jnp.inf)
+            neg = jnp.clip(-Zf, 0.0, jnp.inf)
+            depth = jnp.where(jnp.sum(neg) > jnp.sum(pos), neg, pos)
+            contact = depth > eps
+            area = jnp.sum(contact.astype(jnp.float32)) * mm_per_px ** 2
+            return contact, area, depth
+
+        return fn
+
+    def force_map_device(self):
+        """BASELINE config 3: dense displacement field -> normal-force map.
+
+        The FTP phase-difference field is the dense out-of-plane
+        displacement field (the reference has no marker array; the printed
+        grating is the dense "marker" whose demodulated phase shift is the
+        displacement observable).  The calibrated model is a scalar
+        volume->force law, so the per-pixel normal-force map distributes
+        the calibrated total over the contact patch in proportion to each
+        taxel's indentation volume — a decomposition that sums exactly to
+        the scalar output.
+
+        3-axis shear is explicitly ABSENT: the reference estimates normal
+        force only (``force_sensor.py:193-305``; no shear model exists
+        anywhere in the reference), and a single-direction grating gives
+        one in-plane phase observable, not a 3-axis decomposition — the
+        rigid in-plane component is already reported via the ECC warp.
+        Returns (force_map_N (crop_h, crop_w), displacement_mm, force_N).
+        """
+        eps = self.force_cfg.depth_eps_mm
+        pitch = self.force_cfg.grating_pitch_mm
+        override = self.force_cfg.override_mm_per_px
+        model = self.force_model
+
+        def fn(ref_bgr, def_bgr):
+            out = self.ftp._forward_impl(ref_bgr, def_bgr)
+            height = out["height_map_mm_crop"]
+            roi = jnp.isfinite(height)
+            mm_per_px = (jnp.float32(override) if override is not None
+                         else pitch / jnp.maximum(out["est_period_px"], 1e-12))
+            v, _a, _d = depth_map_to_volume_cm3(height, roi, mm_per_px, eps)
+            force_n = scalar_models.predict_force_from_volume(model, v, xp=jnp)
+            Zf = jnp.where(roi, jnp.where(jnp.isfinite(height), height, 0.0), 0.0)
+            pos = jnp.clip(Zf, 0.0, jnp.inf)
+            neg = jnp.clip(-Zf, 0.0, jnp.inf)
+            depth = jnp.where(jnp.sum(neg) > jnp.sum(pos), neg, pos)
+            depth = jnp.where(depth > eps, depth, 0.0)
+            vol_px = depth * mm_per_px ** 2 / 1000.0          # cm^3 per px
+            total = jnp.maximum(jnp.sum(vol_px), 1e-12)
+            force_map = force_n * vol_px / total
+            return force_map, Zf, force_n
+
+        return fn

@@ -47,9 +47,21 @@ class MultimodalPipeline:
             TemperaturePipeline.from_artifacts(data_root, temp_cfg),
         )
 
-    def __call__(self, ref_bgr: np.ndarray, def_bgr: np.ndarray) -> Dict[str, Any]:
+    @staticmethod
+    def ingest(frame) -> jax.Array:
+        """Upload a frame once; pass the result to ``__call__`` /
+        ``step_fused`` so the sequential path's two modality graphs share
+        ONE host->device transfer (a numpy frame would be re-uploaded by
+        each jit call — the 24 MB transfer is the dominant per-frame cost
+        when frames arrive from a camera)."""
+        return jax.device_put(jnp.asarray(frame))
+
+    def __call__(self, ref_bgr, def_bgr) -> Dict[str, Any]:
         # force path uses the orchestrator's ROI convention: finite heightmap
-        # cells (multimodal_sensor.py:388)
+        # cells (multimodal_sensor.py:388).  Accepts numpy frames or
+        # device arrays from ``ingest`` (then the deformed frame crosses
+        # the host link once even though two graphs read it).
+        def_bgr = jnp.asarray(def_bgr)
         force_out = self.force(ref_bgr, def_bgr, roi_from_finite=True)
         temp_out = self.temperature(def_bgr)
 

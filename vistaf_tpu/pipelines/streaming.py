@@ -107,3 +107,33 @@ class StreamingForce:
     def reset(self, window: Optional[int] = None) -> None:
         w = window or self._state.ring.shape[1]
         self._state = init_state(self.n_streams, w)
+
+    # ------------------------------------------------------------------
+    def run_overlapped(self, refs, frames_seq) -> list:
+        """Drive a frame sequence with double-buffered ingest: frame N+1's
+        host->device upload is enqueued while frame N computes.
+
+        ``jax.device_put`` returns immediately with the copy enqueued on the
+        transfer engine, and the jitted step dispatches asynchronously, so
+        the H2D DMA of the next batch overlaps the current batch's compute
+        (the reference decodes + uploads synchronously inside its per-frame
+        loop, ``multimodal_sensor.py:370-382``).  ``frames_seq`` is an
+        iterable of (n_streams, H, W, 3) uint8 batches; returns the list of
+        per-step output dicts (fetched lazily — one sync at the end)."""
+        refs_dev = jax.device_put(refs)
+        it = iter(frames_seq)
+        try:
+            nxt = jax.device_put(next(it))
+        except StopIteration:
+            return []
+        outs = []
+        done = False
+        while not done:
+            cur = nxt
+            try:
+                nxt = jax.device_put(next(it))   # upload N+1 ...
+            except StopIteration:
+                done = True
+            self._state, out = self._step(self._state, refs_dev, cur)  # ... while N computes
+            outs.append(out)
+        return [{k: np.asarray(v) for k, v in o.items()} for o in outs]

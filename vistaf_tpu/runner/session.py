@@ -114,9 +114,15 @@ def run_session(pipeline: MultimodalPipeline, reference_image: str,
 
     ref_bgr = io.imread_bgr(reference_image)
     def_bgr = io.imread_bgr(deformed_image)
+    # the deformed frame feeds BOTH modality graphs: ingest it once so the
+    # sequential path pays one host->device transfer, not two (measured
+    # 535 ms/frame over the dev tunnel; still the whole PCIe cost on a
+    # production host — see BENCH_INGEST); def_bgr stays host-side for the
+    # figure writers
+    def_dev = pipeline.ingest(def_bgr)
 
-    out = (pipeline.step_fused(ref_bgr, def_bgr) if cfg.fused_step
-           else pipeline(ref_bgr, def_bgr))
+    out = (pipeline.step_fused(ref_bgr, def_dev) if cfg.fused_step
+           else pipeline(ref_bgr, def_dev))
     f = out["force"]
     t = out["temperature"]
     tstats = out["temperature_stats"]
