@@ -138,6 +138,14 @@ def measure_tpu(cfg, ref, de, iters=30, rounds=5):
         per_exec.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
     p50_s = float(np.percentile(per_exec, 50))
     fps = 1.0 / p50_s
+    # run-to-run band for the artifact writers: rounds samples of
+    # (iters-averaged) per-execution time; p10/p90 bound the noise floor so
+    # sub-band deltas are machine-visibly noise (VERDICT r04 weak #4).
+    measure_tpu.last_stats = {
+        "reps": rounds, "iters_per_rep": iters,
+        "p10_ms": round(float(np.percentile(per_exec, 10)) * 1000.0, 2),
+        "p90_ms": round(float(np.percentile(per_exec, 90)) * 1000.0, 2),
+    }
     return float(fps), p50_s * 1000.0, force
 
 
@@ -232,12 +240,14 @@ def main():
             baseline_fps = None
 
     vs = (fps / baseline_fps) if baseline_fps else None
+    stats = getattr(measure_tpu, "last_stats", {})
     print(json.dumps({
         "metric": "frames/sec/chip at 640x480 frame->force; p50 latency "
                   f"{p50_ms:.2f} ms",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": None if vs is None else round(vs, 2),
+        **stats,
     }))
 
 

@@ -48,6 +48,7 @@ def main():
             "force_N": round(force, 4),
             "force_err_vs_gold_pct": round(err_pct, 3),
             "wall_s_incl_compile": round(wall, 1),
+            **bench.measure_tpu.last_stats,
         }
         print(f"{mode:8s} p50={p50_ms:8.2f} ms  fps={fps:6.2f}  "
               f"force={force:.4f} N ({err_pct:+.2f}% vs gold)  "
@@ -65,7 +66,8 @@ def main():
                                                rounds=3)
         per_scene[scene] = {"p50_ms": round(p50_ms, 2),
                             "fps": round(fps, 2),
-                            "force_N": round(force, 4)}
+                            "force_N": round(force, 4),
+                            **bench.measure_tpu.last_stats}
         print(f"deploy {scene:20s} p50={p50_ms:7.2f} ms  fps={fps:6.2f}  "
               f"force={force:.4f} N", flush=True)
 

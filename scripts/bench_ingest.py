@@ -108,6 +108,7 @@ def main():
     one_frame()  # compile + warm
     rows = [one_frame() for _ in range(8)]
     res["camera_to_force_ms"] = {
+        "reps": len(rows),
         "decode_ms": _median([r[0] for r in rows]),
         "upload_plus_compute_plus_fetch_ms": _median([r[1] for r in rows]),
         "total_ms": _median([r[0] + r[1] for r in rows]),
@@ -165,6 +166,7 @@ def main():
     outs = sf.run_overlapped(refs, seq)
     dt = time.perf_counter() - t0
     res["config4_with_ingest"] = {
+        "reps_frames": len(seq),
         "overlapped_step_ms": dt / len(seq) * 1e3,
         "overlapped_stream_frames_per_sec": S * len(seq) / dt,
     }

@@ -58,6 +58,11 @@ def _measure(run_once, fetch_scalar, rtt, iters=4, rounds=3):
             out = run_once()
         _ = fetch_scalar(out)
         per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
+    _measure.last_stats = {
+        "reps": rounds, "iters_per_rep": iters,
+        "p10_ms": round(float(np.percentile(per, 10)) * 1000.0, 2),
+        "p90_ms": round(float(np.percentile(per, 90)) * 1000.0, 2),
+    }
     return float(np.percentile(per, 50)) * 1000.0
 
 
@@ -99,11 +104,14 @@ def main():
 
     rtt = _rtt(jax, jnp)
     res = {}
+    bands = {}
     res["force_only_ms"] = round(_measure(
         lambda: f_fwd(r, d), lambda o: float(np.asarray(o["est_period_px"])),
         rtt), 2)
+    bands["force_only_ms"] = _measure.last_stats
     res["temp_only_ms"] = round(_measure(
         lambda: t_fwd(d), lambda o: float(np.asarray(o["t_mean"])), rtt), 2)
+    bands["temp_only_ms"] = _measure.last_stats
 
     def seq_once():
         fo = f_fwd(r, d)
@@ -114,9 +122,11 @@ def main():
         seq_once,
         lambda o: float(np.asarray(o[0]["est_period_px"]))
         + float(np.asarray(o[1]["t_mean"])), rtt), 2)
+    bands["sequential_mm_ms"] = _measure.last_stats
     res["fused_mm_ms"] = round(_measure(
         lambda: pipe._fused_forward(r, d),
         lambda o: float(np.asarray(o[2]["force_N"])), rtt), 2)
+    bands["fused_mm_ms"] = _measure.last_stats
     for k, v in res.items():
         print(f"{k:20s} {v:8.2f}", flush=True)
 
@@ -136,6 +146,7 @@ def main():
         "resolution": "3840x2160",
         "preset": "deploy",
         **res,
+        "bands": bands,
         "fused_vs_sequential_speedup": round(
             res["sequential_mm_ms"] / res["fused_mm_ms"], 3),
         "frame_upload_ms_24MB": round(upload_ms, 2),

@@ -50,6 +50,11 @@ def _time_steps(run_once, fetch, rtt, iters=20, rounds=5):
             out = run_once()
         fetch(out)
         per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
+    _time_steps.last_stats = {
+        "reps": rounds, "iters_per_rep": iters,
+        "p10_ms": round(float(np.percentile(per, 10)) * 1000.0, 2),
+        "p90_ms": round(float(np.percentile(per, 90)) * 1000.0, 2),
+    }
     return float(np.percentile(per, 50))
 
 
@@ -109,6 +114,7 @@ def main():
     hz4 = 1.0 / p50_s
     summary["config4_streaming"] = {
         "step_p50_ms": round(p50_s * 1e3, 2),
+        **_time_steps.last_stats,
         "batch_hz_per_chip": round(hz4, 1),
         "stream_frames_per_sec_per_chip": round(hz4 * N_STREAMS, 1),
     }
@@ -128,6 +134,7 @@ def main():
     hz5 = 1.0 / p50_s
     summary["config5_whole_limb"] = {
         "step_p50_ms": round(p50_s * 1e3, 2),
+        **_time_steps.last_stats,
         "whole_limb_hz_one_chip_4_streams": round(hz5, 1),
         "limb_map_shape": limb_shape,
         "meets_200hz_one_chip": bool(hz5 >= TARGET_HZ),
@@ -161,6 +168,7 @@ def main():
     hz5a = 1.0 / p50_s
     summary["config5_whole_limb_aux"] = {
         "step_p50_ms": round(p50_s * 1e3, 2),
+        **_time_steps.last_stats,
         "whole_limb_hz_one_chip_4_streams": round(hz5a, 1),
         "limb_canvas_shape": canvas_shape,
         "meets_200hz_one_chip": bool(hz5a >= TARGET_HZ),
@@ -187,6 +195,7 @@ def main():
                             iters=5, rounds=4)
         summary[f"temperature_4k_{mode}"] = {
             "p50_ms": round(p50_s * 1e3, 1),
+            **_time_steps.last_stats,
             "fps": round(1.0 / p50_s, 2),
         }
         print(f"temperature 4K {mode}: p50 {p50_s*1e3:.0f} ms "

@@ -2,7 +2,12 @@
 # Regenerate every TPU evidence artifact after a deploy-path change.
 # Usage: bash scripts/refresh_evidence.sh [outdir]   (default: repo root)
 # Runs sequentially (one chip): deploy goldens -> parity goldens ->
-# streams/temperature bench -> 4K bench.  ~25-40 min warm.
+# streams/temperature bench -> 4K bench -> corpora -> MM -> ingest ->
+# config23 -> multihost.  Measured wall (r05): ~87 min when a config
+# schema change invalidates the persistent compile cache (FTPConfig is a
+# static jit arg, so adding a field recompiles everything); ~25-40 min
+# with a warm cache.  The corpora account for ~17 min of compute that
+# cannot be cached away.
 set -e
 cd "$(dirname "$0")/.."
 OUT="${1:-.}"
@@ -26,6 +31,8 @@ echo "=== multimodal 4K step bench ==="
 python scripts/bench_mm.py "$OUT/BENCH_MM_${R}.json"
 echo "=== ingest-inclusive bench ==="
 python scripts/bench_ingest.py "$OUT/BENCH_INGEST_${R}.json"
+echo "=== BASELINE configs 2/3 bench ==="
+python scripts/bench_config23.py "$OUT/BENCH_CONFIG23_${R}.json"
 echo "=== multihost full-pipeline (2-process jax.distributed, CPU) ==="
 # the genuine FTP graph crosses a real process boundary once per evidence
 # cycle (multi-minute XLA:CPU compile per rank -> not in the fast suite)

@@ -43,6 +43,13 @@ class FTPConfig:
     # masked argmaxes (ops/fftops.py::carrier_peak_cascade) — lax.top_k
     # sorts the whole spectrum (~5 ms at the 4K crop)
     peak_method: str = "topk"
+    # minimum padded-FFT extent for the rfft2 demod-pair fast path
+    # (ftp/demod.py::_demod_pair_rfft).  The half-spectrum transform wins
+    # at the 4K crop (-1.5 ms) but its Hermitian-mirror patch assembly
+    # costs more than the saved FFT work on small grids; 0 engages it
+    # whenever the preconditions (right-half-plane cascade + patch_shift)
+    # hold.
+    demod_rfft_min_px: int = 0
 
     # --- Preprocess (shape_ftp.py:34-38, 110-124) ---
     fft_pad_px: int = 96

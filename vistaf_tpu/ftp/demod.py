@@ -279,7 +279,8 @@ def ftp_complex_demod_pair(gray_ref: jnp.ndarray, gray_def: jnp.ndarray,
     cy, cx = hf // 2, wf // 2
 
     if (cfg.sideband_method == "patch_shift" and cfg.force_right_half_plane
-            and cfg.peak_method == "cascade" and hf % 2 == 0 and wf % 2 == 0):
+            and cfg.peak_method == "cascade" and hf % 2 == 0 and wf % 2 == 0
+            and min(hf, wf) >= cfg.demod_rfft_min_px):
         return _demod_pair_rfft(iw_pair, i_norm_pair, iw_fft, h, w, cfg)
 
     F = jnp.fft.fft2(iw_fft, axes=(-2, -1))
