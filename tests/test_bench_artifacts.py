@@ -90,6 +90,19 @@ def test_bench_mm_meets_documented_thresholds():
     assert abs(b["force_err_vs_gold_pct"]) <= 1.0
 
 
+def test_bench_config23_meets_documented_thresholds():
+    b = _latest("BENCH_CONFIG23")
+    c2 = b["config2_contact_classification"]
+    c3 = b["config3_force_map"]
+    # same 640x480 deploy scale as bench.py, so BASELINE's <5 ms applies
+    assert c2["p50_ms"] <= 5.0
+    assert c3["p50_ms"] <= 5.0
+    assert c2["n_contact_taxels"] > 0
+    # the force map must integrate back to the scalar force prediction
+    assert abs(c3["force_map_sum_N"] - c3["force_N"]) <= 1e-3 * abs(c3["force_N"])
+    assert "non-goal" in c3["shear_note"]
+
+
 # ---------------------------------------------------------------------------
 # Doc freshness: README/COMPONENTS must cite the newest round per family
 # ---------------------------------------------------------------------------
