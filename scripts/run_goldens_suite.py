@@ -41,6 +41,13 @@ def main():
     ref_img = cv2.imread(f"{REF}/Final_demos_images/FINAL_reference.jpg",
                          cv2.IMREAD_COLOR)
 
+    # scalar-only fetches (bit-identical values — see ForcePipeline.
+    # evidence_scalars / TemperaturePipeline.stats): the full-map dict cost
+    # multiple seconds per scene over the dev tunnel
+    import jax.numpy as jnp
+    jforce = jax.jit(force_pipe.evidence_reductions_device(roi_from_finite=True))
+    ref_dev = jax.device_put(jnp.asarray(ref_img))
+
     result = {"mode": mode, "platform": jax.devices()[0].platform,
               "force": {}, "temperature": {}}
     t_all = time.time()
@@ -49,7 +56,7 @@ def main():
         gold_f = json.load(open(
             f"{REF}/Multimodal_Sensor/Demos_report/{scene}/force_sensing/result.json"))
         t0 = time.time()
-        out = force_pipe(ref_img, img, roi_from_finite=True)
+        out = force_pipe.evidence_scalars(ref_dev, jnp.asarray(img), jforce)
         dt = time.time() - t0
         row = {
             "force_N": float(out["force_N"]), "gold_force_N": gold_f["force_N"],
@@ -73,7 +80,7 @@ def main():
         if os.path.exists(mm_path):
             g = json.load(open(mm_path))["sensor_readings"]["temperature"]
             t0 = time.time()
-            t_out = temp_pipe(img)
+            t_out = temp_pipe.stats(img)
             dt = time.time() - t0
             trow = {
                 "mean_C": float(t_out["t_mean"]), "gold_mean_C": g["mean_C"],

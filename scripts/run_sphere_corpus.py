@@ -19,12 +19,14 @@ import numpy as np
 
 def main():
     import cv2
+    import jax
     import jax.numpy as jnp
 
     from vistaf_tpu.calib import artifacts
     from vistaf_tpu.config import FTPConfig
     from vistaf_tpu.ftp.pipeline import FTPPipeline
-    from vistaf_tpu.pipelines.force import depth_map_to_volume_cm3
+    from vistaf_tpu.pipelines.force import (depth_map_reductions,
+                                            host_volume_from_reductions)
 
     REF = "/root/reference"
     mode = sys.argv[1] if len(sys.argv) > 1 else "parity"
@@ -36,6 +38,23 @@ def main():
     pipe = FTPPipeline(cfg, p2h, use_neg)
     ref_img = cv2.imread(f"{REF}/Final_demos_images/FINAL_reference.jpg", cv2.IMREAD_COLOR)
 
+    # scalar-fetch evidence step: full FTP forward + the px-area-independent
+    # volume reductions in ONE graph, four scalars back per frame.  The
+    # host f32 tail replicates the old full-map-fetch runner's arithmetic;
+    # fusing the reductions into the forward graph moves 40/75 deploy rows
+    # by <= 2.4e-7 relative (f32 fusion dust, measured vs CORPUS_r05) while
+    # cutting the fetch cost from ~5 s/frame over the dev tunnel.
+    roi_eroded = jnp.asarray(pipe._roi_eroded)
+
+    def _step(ref_bgr, def_bgr):
+        out = pipe._forward_impl(ref_bgr, def_bgr)
+        h = out["height_map_mm_crop"]
+        s, n, d, _any = depth_map_reductions(h, roi_eroded, 0.01)
+        return s, n, d, out["est_period_px"]
+
+    jstep = jax.jit(_step)
+    ref_dev = jax.device_put(jnp.asarray(ref_img))
+
     gold = {}
     import csv
     with open(f"{REF}/Force/Height_to_force/calibration_out/per_image_results.csv") as f:
@@ -44,14 +63,20 @@ def main():
 
     rows = []
     t_start = time.time()
+    t_first = None
+    t_decode = 0.0
     for i in range(1, 76):
         fname = f"sphere-{i}.jpg"
+        t0 = time.time()
         img = cv2.imread(f"{REF}/Force/Height_to_force/Loading/{fname}", cv2.IMREAD_COLOR)
-        res = pipe(ref_img, img)
-        hm = res["height_map_mm_crop"]
-        roi = res["roi_eroded_crop"]
-        mm_per_px = 2.0 / res["estimated_grating_period_px"]
-        v, a, d = depth_map_to_volume_cm3(jnp.asarray(hm), jnp.asarray(roi), mm_per_px, 0.01)
+        t_decode += time.time() - t0
+        t0 = time.time()
+        s, n, d, period = (float(x) for x in
+                           jax.device_get(jstep(ref_dev, jnp.asarray(img))))
+        if t_first is None:
+            t_first = time.time() - t0
+        mm_per_px = 2.0 / period
+        v, a, d = host_volume_from_reductions(s, n, d, np.float32(mm_per_px))
         g = gold[fname]
         gv = float(g["volume_cm3"])
         dv = (float(v) - gv) / max(gv, 1e-12) * 100.0
@@ -72,6 +97,8 @@ def main():
         "p90_abs_dvol_pct": float(np.percentile(np.abs(dv), 90)),
         "max_abs_dvol_pct": float(np.max(np.abs(dv))),
         "wall_s": time.time() - t_start,
+        "first_step_s": round(t_first, 1),        # compile / cache load
+        "decode_s_total": round(t_decode, 1),     # host cv2.imread, 1 CPU
         "rows": rows,
     }
     with open(out_path, "w") as f:

@@ -51,3 +51,20 @@ def test_force_map_sums_to_calibrated_force(pipe_and_frames):
     d = np.asarray(disp)
     deepest = np.unravel_index(np.abs(d).argmax(), d.shape)
     assert fm[deepest] > 0
+
+
+def test_evidence_scalars_bit_match_full_map_path(pipe_and_frames):
+    """The scalar-fetch evidence surface (evidence_reductions_device +
+    host_volume_from_reductions) must reproduce __call__'s volume/area/
+    depth/force exactly — the corpus/goldens harnesses rely on it being a
+    fetch-shape change, not a numerics change."""
+    import jax.numpy as jnp
+    pipe, ref, de = pipe_and_frames
+    for roi_finite in (True, False):
+        jfn = jax.jit(pipe.evidence_reductions_device(roi_from_finite=roi_finite))
+        ev = pipe.evidence_scalars(jnp.asarray(ref), jnp.asarray(de), jfn)
+        out = pipe(ref, de, roi_from_finite=roi_finite)
+        for k in ("volume_cm3", "contact_area_mm2", "max_depth_mm", "force_N"):
+            assert ev[k] == pytest.approx(out[k], rel=1e-6, abs=1e-9), (roi_finite, k)
+        assert ev["estimated_grating_period_px"] == pytest.approx(
+            out["estimated_grating_period_px"], rel=1e-6)

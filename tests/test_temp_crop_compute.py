@@ -91,3 +91,19 @@ def test_deploy_preset_runs_off_tpu(rng):
     _, de = synthetic_pair(160, 320, scaled_ftp_config(160, 320))
     out = TemperaturePipeline(cfg, color, wide)(de)
     assert np.isfinite(float(out["t_mean"]))
+
+
+def test_stats_surface_matches_full_call(rng):
+    """TemperaturePipeline.stats fetches only the statistics tail; the
+    values must equal __call__'s exactly (the stats never read the map
+    embeds the scalar graph dead-codes away)."""
+    color, wide = synthetic_temp_weights()
+    cfg = _small_cfg()
+    _, de = synthetic_pair(320, 640, scaled_ftp_config(320, 640))
+    pipe = TemperaturePipeline(cfg, color, wide)
+    full = pipe(de)
+    st = pipe.stats(de)
+    for k in ("t_mean", "t_min", "t_max", "t_std", "valid_pixels",
+              "stripe_angle_rad", "stripe_period_px"):
+        np.testing.assert_allclose(np.asarray(st[k]), np.asarray(full[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)

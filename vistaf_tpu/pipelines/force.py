@@ -18,13 +18,15 @@ from vistaf_tpu.config import ForceConfig, FTPConfig
 from vistaf_tpu.ftp.pipeline import FTPPipeline
 
 
-def depth_map_to_volume_cm3(height_map_mm: jnp.ndarray, roi_mask: jnp.ndarray,
-                            mm_per_px, depth_eps_mm: float = 0.01):
-    """V = sum(depth * px_area) over depth > eps within ROI; returns
-    (volume_cm3, contact_area_mm2, max_depth_mm).
+def depth_map_reductions(height_map_mm: jnp.ndarray, roi_mask: jnp.ndarray,
+                         depth_eps_mm: float = 0.01):
+    """The px-area-independent reductions of the volume integrator: returns
+    (depth_sum_mm, contact_px, max_depth_mm, any_contact).
 
-    Depth sign is auto-detected: whichever of (+Z, -Z) integrates larger is
-    the indentation side (``force_sensor.py:106-108``).
+    Split out so evidence harnesses can fetch four scalars per frame and
+    apply the f32 px-area scaling host-side (``host_volume_from_reductions``)
+    with bit-identical results — full-map fetches over the dev tunnel were
+    ~99% of the corpus wall time (docs/PERF.md round 5).
     """
     Z = height_map_mm.astype(jnp.float32)
     roi = roi_mask
@@ -37,15 +39,45 @@ def depth_map_to_volume_cm3(height_map_mm: jnp.ndarray, roi_mask: jnp.ndarray,
     depth = jnp.where(roi, depth, 0.0)
 
     contact = depth > depth_eps_mm
-    px_area = jnp.asarray(mm_per_px, jnp.float32) ** 2
-    volume_mm3 = jnp.sum(jnp.where(contact, depth, 0.0)) * px_area
-    area_mm2 = jnp.sum(contact.astype(jnp.float32)) * px_area
+    depth_sum = jnp.sum(jnp.where(contact, depth, 0.0))
+    contact_px = jnp.sum(contact.astype(jnp.float32))
     max_depth = jnp.max(jnp.where(contact, depth, 0.0))
-    any_contact = jnp.any(contact)
+    return depth_sum, contact_px, max_depth, jnp.any(contact)
+
+
+def depth_map_to_volume_cm3(height_map_mm: jnp.ndarray, roi_mask: jnp.ndarray,
+                            mm_per_px, depth_eps_mm: float = 0.01):
+    """V = sum(depth * px_area) over depth > eps within ROI; returns
+    (volume_cm3, contact_area_mm2, max_depth_mm).
+
+    Depth sign is auto-detected: whichever of (+Z, -Z) integrates larger is
+    the indentation side (``force_sensor.py:106-108``).
+    """
+    depth_sum, contact_px, max_depth, any_contact = depth_map_reductions(
+        height_map_mm, roi_mask, depth_eps_mm)
+    px_area = jnp.asarray(mm_per_px, jnp.float32) ** 2
+    volume_mm3 = depth_sum * px_area
+    area_mm2 = contact_px * px_area
     volume_cm3 = jnp.where(any_contact, volume_mm3 / 1000.0, 0.0)
     area_mm2 = jnp.where(any_contact, area_mm2, 0.0)
     max_depth = jnp.where(any_contact, max_depth, 0.0)
     return volume_cm3, area_mm2, max_depth
+
+
+def host_volume_from_reductions(depth_sum, contact_px, max_depth, mm_per_px):
+    """Host-side tail of ``depth_map_to_volume_cm3`` over fetched reduction
+    scalars, replicating the device tail's f32 arithmetic op for op (f32
+    square, f32 products, f32 /1000) — the scaling itself is bit-faithful;
+    any difference vs a full-map run comes from the reductions fusing into
+    the forward graph (<= ~2e-7 relative, measured).  Returns (volume_cm3,
+    contact_area_mm2, max_depth_mm) as python floats."""
+    px_area = np.float32(mm_per_px) ** 2
+    volume_mm3 = np.float32(depth_sum) * px_area
+    area_mm2 = np.float32(contact_px) * px_area
+    if not (np.float32(contact_px) > 0):
+        return 0.0, 0.0, 0.0
+    return (float(volume_mm3 / np.float32(1000.0)), float(area_mm2),
+            float(np.float32(max_depth)))
 
 
 class ForcePipeline:
@@ -188,3 +220,41 @@ class ForcePipeline:
             return force_map, Zf, force_n
 
         return fn
+
+    # ------------------------------------------------------------------
+    # Evidence-harness surface: scalar-only fetch
+    # ------------------------------------------------------------------
+    def evidence_reductions_device(self, roi_from_finite: bool = False):
+        """One jittable step returning ONLY the four volume-integrator
+        reductions + the estimated grating period — four scalars per frame
+        instead of the full map dict.  The goldens/corpus harnesses feed
+        these to ``host_volume_from_reductions`` (an op-for-op f32 replica
+        of the device tail; fusing the reductions into the forward graph
+        moves values by <= ~2e-7 relative — measured over the 75-sphere
+        corpus); fetching the maps per frame over the dev tunnel was
+        ~5.6 s/frame against 36 ms of device compute (docs/PERF.md r05)."""
+        eps = self.force_cfg.depth_eps_mm
+
+        roi_eroded = None if roi_from_finite else jnp.asarray(self.ftp._roi_eroded)
+
+        def fn(ref_bgr, def_bgr):
+            out = self.ftp._forward_impl(ref_bgr, def_bgr)
+            height = out["height_map_mm_crop"]
+            roi = jnp.isfinite(height) if roi_from_finite else roi_eroded
+            s, n, d, _any = depth_map_reductions(height, roi, eps)
+            return s, n, d, out["est_period_px"]
+
+        return fn
+
+    def evidence_scalars(self, ref_dev, def_dev, jfn) -> Dict[str, float]:
+        """Host tail for ``evidence_reductions_device``: returns the same
+        scalar fields ``__call__`` reports (volume/area/max-depth/force/
+        mm_per_px/period), from a scalar-only fetch."""
+        s, n, d, period = (float(x) for x in jax.device_get(jfn(ref_dev, def_dev)))
+        mm = self.mm_per_px(period)
+        mm32 = np.float32(mm)
+        v, a, dmax = host_volume_from_reductions(s, n, d, mm32)
+        force_n = scalar_models.predict_force_from_volume(self.force_model, v, xp=np)
+        return {"volume_cm3": v, "contact_area_mm2": a, "max_depth_mm": dmax,
+                "force_N": float(force_n), "mm_per_px": mm,
+                "estimated_grating_period_px": period}

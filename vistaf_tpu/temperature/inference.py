@@ -184,6 +184,25 @@ class TemperaturePipeline:
             from vistaf_tpu.pallas.temp_kernel import make_fused_temperature_fn
             self._fused_fn = make_fused_temperature_fn(cfg, color_model, wide_model)
         self._forward = jax.jit(self._forward_impl)
+        self._stats_forward = None
+
+    # ------------------------------------------------------------------
+    def stats(self, frame_bgr: np.ndarray) -> Dict[str, Any]:
+        """Scalar-only forward: same graph, but only the masked statistics
+        tail (t_mean/min/max/std, valid_pixels, stripe angle/period) is
+        fetched — the 8 full-frame map embeds are dead-coded away.  Values
+        are identical to ``__call__``'s (the stats never read the embeds);
+        evidence harnesses use this to avoid ~270 MB of map fetches per
+        scene over the dev tunnel."""
+        if self._stats_forward is None:
+            def _stats_impl(frame):
+                o = self._forward_impl(frame)
+                return {k: o[k] for k in ("t_mean", "t_min", "t_max", "t_std",
+                                          "valid_pixels", "stripe_angle_rad",
+                                          "stripe_period_px")}
+            self._stats_forward = jax.jit(_stats_impl)
+        out = self._stats_forward(jnp.asarray(frame_bgr))
+        return {k: np.asarray(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------
     def __call__(self, frame_bgr: np.ndarray) -> Dict[str, Any]:
