@@ -184,3 +184,56 @@ def test_cascade_vs_topk_agree_when_preferred_region_has_topk_peak():
     px_t, py_t = fftops.choose_carrier_peak(xs, ys_, mags, h, w)
     px_c, py_c = fftops.carrier_peak_cascade(m, dc)
     assert (int(px_t), int(py_t)) == (int(px_c), int(py_c)) == (cx + 18, cy + 2)
+
+
+def test_cascade_half_matches_full_plane():
+    """carrier_peak_cascade_half over the row-shifted rfft2 half-spectrum
+    must pick the same bin as the full-plane cascade with
+    force_right_half_plane=True."""
+    for angle in (0.0, 8.0, -25.0, 80.0):
+        gray, roi = _stripe_scene(angle_deg=angle)
+        i = jnp.asarray(gray / gray.mean())
+        mag = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(i)))
+        px0, py0 = fftops.carrier_peak_cascade(mag, 4, True, True, 0.14)
+        Rr = jnp.roll(jnp.fft.rfft2(i), H // 2, axis=0)
+        k, py1 = fftops.carrier_peak_cascade_half(jnp.abs(Rr), 4, True, 0.14)
+        assert (int(px0), int(py0)) == (int(k) + W // 2, int(py1)), angle
+
+
+def test_ifft2_bandpass_half_matches_full():
+    """The half-spectrum windowed IDFT must equal the full-spectrum one for
+    every carrier position, including low-frequency carriers whose window
+    reaches Hermitian-mirrored negative-kx columns."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (H, W)).astype(np.float32)
+    xd = jnp.asarray(x)
+    Fs = jnp.fft.fftshift(jnp.fft.fft2(xd))
+    Rr = jnp.roll(jnp.fft.rfft2(xd), H // 2, axis=0)
+    r = 6.0
+    for (px, py) in [(W // 2 + 40, H // 2 + 9),
+                     (W // 2 + 3, H // 2 + 5),   # window crosses kx=0
+                     (W // 2 + 7, 4)]:           # clipped at top row
+        zf = fftops.ifft2_bandpass_dynamic(Fs, jnp.int32(px), jnp.int32(py), r)
+        zh = fftops.ifft2_bandpass_dynamic_half(
+            Rr, jnp.int32(px - W // 2), jnp.int32(py), r)
+        scale = float(jnp.max(jnp.abs(zf))) + 1e-12
+        err = float(jnp.max(jnp.abs(zf - zh))) / scale
+        assert err < 2e-5, (px, py, err)
+
+
+def test_segment_rfft_matches_fft2_path():
+    """Full segment_stripes: the deploy rfft2 forward must reproduce the
+    fft2 path's masks/angle/period up to boundary-pixel dust."""
+    gray, roi = _stripe_scene(angle_deg=8.0)
+    base = _cfg(seg_peak_method="cascade", seg_bandpass="matmul",
+                seg_force_right_half_plane=True)
+    a = segment_stripes(jnp.asarray(gray), jnp.asarray(roi), base)
+    b = segment_stripes(jnp.asarray(gray), jnp.asarray(roi),
+                        base.replace(seg_fft="rfft2"))
+    assert int(a.peak_xy[0]) == int(b.peak_xy[0])
+    assert int(a.peak_xy[1]) == int(b.peak_xy[1])
+    np.testing.assert_allclose(float(a.angle_rad), float(b.angle_rad))
+    np.testing.assert_allclose(float(a.period_px), float(b.period_px))
+    for name in ("dark", "light", "sat", "roi_eff"):
+        ma, mb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        assert (ma != mb).mean() < 2e-3, name

@@ -446,6 +446,13 @@ class TempConfig:
     # (ops/fftops.py::ifft2_bandpass_dynamic; ~0.7 ms vs ~7 ms at 4K,
     # f32-rounding-level differences only)
     seg_bandpass: str = "fft"
+    # forward transform: 'fft2' = full complex spectrum; 'rfft2' = real-input
+    # half spectrum (half the FFT work, no full-plane fftshift).  Takes
+    # effect only when the preconditions hold (cascade peak search, right
+    # half-plane forced, matmul bandpass, even dims) — otherwise the full
+    # fft2 runs regardless.  rfft-vs-fft rounding dust only (the demod rfft
+    # path's argument, ftp/demod.py)
+    seg_fft: str = "fft2"
 
     sat_thresh_gray: int = 245
     sat_dilate_ksize: int = 13
@@ -496,11 +503,17 @@ class TempConfig:
         real chip (GOLDENS_r03_deploy.json): scene temperature means within
         0.073 degC of the reference (0.1 degC contract), the single
         hottest pixel within 0.54 degC (0.75 degC deploy gate)."""
+        # inpaint budgets: the widest wide-domain holes are the
+        # sat_dilate_ksize=13 saturation specks (~7 px fill radius), so 16
+        # iterations is ~2.3x the fill radius — the same margin as the
+        # force path's inpaint_iters=20 cut.  Measured on all 5 golden
+        # scenes (scripts/bisect_temp_r05.py): scene stats BIT-SAME from
+        # 48/24 down through 16/8, p50 21.0 -> 16.6 ms.
         return self.replace(percentile_method="hist_pallas", use_fused_kernel=True,
-                            wide_inpaint_iters=48, color_inpaint_iters=24,
+                            wide_inpaint_iters=16, color_inpaint_iters=8,
                             rotate_method="shear", crop_compute=True,
                             conv_vpu=True, seg_peak_method="cascade",
-                            seg_bandpass="matmul")
+                            seg_bandpass="matmul", seg_fft="rfft2")
 
     wide_inpaint_radius: int = 7
     color_inpaint_radius: int = 5

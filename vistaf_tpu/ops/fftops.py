@@ -107,6 +107,32 @@ def carrier_peak_cascade(mag: jnp.ndarray, dc_exclusion: int,
     return (idx % w).astype(jnp.int32), (idx // w).astype(jnp.int32)
 
 
+def _bandpass_window_tail(P: jnp.ndarray, sy, sx, px, py, h: int, w: int,
+                          radius: float, rows: slice, cols: slice) -> jnp.ndarray:
+    """Shared tail of the dynamic-bandpass IDFT: disk-mask the (psz, psz)
+    spectrum window ``P`` (whose full-plane shifted-coordinates start is
+    (sy, sx)) and evaluate the two twiddle matmuls + rank-1 carrier ramp."""
+    import numpy as np
+    psz = P.shape[0]
+    ch, cw = h // 2, w // 2
+    ii = jax.lax.broadcasted_iota(jnp.float32, (psz, psz), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (psz, psz), 1)
+    dy = ii + (sy - py).astype(jnp.float32)
+    dx = jj + (sx - px).astype(jnp.float32)
+    P = jnp.where(dy * dy + dx * dx <= float(radius) ** 2, P, 0.0)
+    oy = np.arange(h, dtype=np.float64)[rows] if rows is not None else np.arange(h, dtype=np.float64)
+    ox = np.arange(w, dtype=np.float64)[cols] if cols is not None else np.arange(w, dtype=np.float64)
+    Ey = jnp.asarray(np.exp(2j * np.pi * np.outer(oy, np.arange(psz)) / h).astype(np.complex64))
+    Ex = jnp.asarray(np.exp(2j * np.pi * np.outer(np.arange(psz), ox) / w).astype(np.complex64))
+    inner = jnp.einsum("ya,ab,bx->yx", Ey, P, Ex,
+                       precision=jax.lax.Precision.HIGHEST)
+    fy = (sy - ch).astype(jnp.float32)
+    fx = (sx - cw).astype(jnp.float32)
+    cay = jnp.exp(2j * jnp.pi * (jnp.asarray(oy, jnp.float32) * fy / h))
+    cax = jnp.exp(2j * jnp.pi * (jnp.asarray(ox, jnp.float32) * fx / w))
+    return inner * (cay[:, None] / (h * w)) * cax[None, :]
+
+
 def ifft2_bandpass_dynamic(F_shift: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
                            radius: float, rows: slice = None, cols: slice = None) -> jnp.ndarray:
     """ifft2(ifftshift(F_shift * disk(px, py, radius))) without the full-frame
@@ -128,26 +154,77 @@ def ifft2_bandpass_dynamic(F_shift: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarra
     h, w = F_shift.shape
     rr = int(np.ceil(radius))
     psz = 2 * rr + 1
-    ch, cw = h // 2, w // 2
     sy = jnp.clip(py - rr, 0, h - psz)
     sx = jnp.clip(px - rr, 0, w - psz)
     P = jax.lax.dynamic_slice(F_shift, (sy, sx), (psz, psz))
-    ii = jax.lax.broadcasted_iota(jnp.float32, (psz, psz), 0)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (psz, psz), 1)
-    dy = ii + (sy - py).astype(jnp.float32)
-    dx = jj + (sx - px).astype(jnp.float32)
-    P = jnp.where(dy * dy + dx * dx <= float(radius) ** 2, P, 0.0)
-    oy = np.arange(h, dtype=np.float64)[rows] if rows is not None else np.arange(h, dtype=np.float64)
-    ox = np.arange(w, dtype=np.float64)[cols] if cols is not None else np.arange(w, dtype=np.float64)
-    Ey = jnp.asarray(np.exp(2j * np.pi * np.outer(oy, np.arange(psz)) / h).astype(np.complex64))
-    Ex = jnp.asarray(np.exp(2j * np.pi * np.outer(np.arange(psz), ox) / w).astype(np.complex64))
-    inner = jnp.einsum("ya,ab,bx->yx", Ey, P, Ex,
-                       precision=jax.lax.Precision.HIGHEST)
-    fy = (sy - ch).astype(jnp.float32)
-    fx = (sx - cw).astype(jnp.float32)
-    cay = jnp.exp(2j * jnp.pi * (jnp.asarray(oy, jnp.float32) * fy / h))
-    cax = jnp.exp(2j * jnp.pi * (jnp.asarray(ox, jnp.float32) * fx / w))
-    return inner * (cay[:, None] / (h * w)) * cax[None, :]
+    return _bandpass_window_tail(P, sy, sx, px, py, h, w, radius, rows, cols)
+
+
+def carrier_peak_cascade_half(mag_half: jnp.ndarray, dc_exclusion: int,
+                              prefer_near_center_row: bool = True,
+                              peak_max_dy_frac: float = 0.12
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``carrier_peak_cascade`` over the row-shifted rfft2 half-spectrum
+    (``mag_half[r, k] == |F_shift[r, cx + k]|`` for kx = k in [0, cx]).
+
+    ``force_right_half_plane`` is a PRECONDITION here, not a flag — the
+    half-spectrum only stores kx >= 0, which for a real input is the full
+    information content.  Identical bin choice to the full-plane cascade:
+    the notch box, the kx >= 1 right-half constraint and the near-row
+    preference all live at kx >= 0; the final unfiltered fallback (which
+    scans both half-planes in the full version) can differ only when the
+    right half-plane minus the notch is empty — impossible for any real
+    frame wider than the notch.  Returns (k, row) half-spectrum indices;
+    the full-plane peak is (cx + k, row).
+    """
+    hf, kw = mag_half.shape
+    cy = hf // 2
+    dc = int(dc_exclusion)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (hf, kw), 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (hf, kw), 1)
+    notch = (ik < dc) & (iy >= cy - dc) & (iy < cy + dc)
+    m1 = (~notch) & (ik >= 1)
+    m2 = (m1 & (jnp.abs(iy - cy) <= jnp.int32(int(peak_max_dy_frac * hf)))) \
+        if prefer_near_center_row else m1
+    neg = jnp.float32(-3.0e38)
+    mf = mag_half.astype(jnp.float32)
+    i2 = jnp.argmax(jnp.where(m2, mf, neg))
+    i1 = jnp.argmax(jnp.where(m1, mf, neg))
+    i0 = jnp.argmax(jnp.where(~notch, mf, neg))
+    idx = jnp.where(jnp.any(m2), i2, jnp.where(jnp.any(m1), i1, i0))
+    return (idx % kw).astype(jnp.int32), (idx // kw).astype(jnp.int32)
+
+
+def ifft2_bandpass_dynamic_half(Rr: jnp.ndarray, k_i: jnp.ndarray,
+                                py: jnp.ndarray, radius: float,
+                                rows: slice = None, cols: slice = None) -> jnp.ndarray:
+    """``ifft2_bandpass_dynamic`` fed by the row-shifted rfft2 half-spectrum
+    ``Rr`` (``Rr[r, k] == F_shift[r, cx + k]``, see
+    ``carrier_peak_cascade_half``) instead of the full shifted spectrum.
+
+    The disk window around the carrier can reach ``ceil(radius)`` columns of
+    negative kx when the carrier frequency is low; those are reconstructed
+    from Hermitian symmetry (``F(-ky, -kx) = conj(F(ky, kx))``, same
+    construction as the demod rfft path, ``ftp/demod.py::_demod_pair_rfft``)
+    — every window bin equals its full-``fft2`` counterpart up to
+    rfft-vs-fft rounding dust, and the matmul tail is shared code.
+    """
+    import numpy as np
+    h, kw = Rr.shape
+    w = 2 * (kw - 1)
+    cx = w // 2
+    rr = int(np.ceil(radius))
+    psz = 2 * rr + 1
+    # Hermitian extension: rr negative-kx columns (mirror[r, k] =
+    # conj(Rr[(h - r) % h, k]) = F_shift[r, cx - k])
+    cols_pos = Rr[:, 1:rr + 1]
+    mirror = jnp.conj(jnp.roll(jnp.flip(cols_pos, axis=0), 1, axis=0))
+    E = jnp.concatenate([mirror[:, ::-1], Rr], axis=1)   # col j <-> kx = j - rr
+    px = k_i + cx
+    sy = jnp.clip(py - rr, 0, h - psz)
+    sx = jnp.clip(px - rr, 0, w - psz)                   # full-plane window start
+    P = jax.lax.dynamic_slice(E, (sy, sx - cx + rr), (psz, psz))
+    return _bandpass_window_tail(P, sy, sx, px, py, h, w, radius, rows, cols)
 
 
 def refine_peak_parabolic_log(mag: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):

@@ -74,18 +74,34 @@ def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
     mu = jnp.where(jnp.abs(mu) > 1e-9, mu, 1.0)
     i_norm = norm / mu
 
-    F = jnp.fft.fft2(i_norm)
-    F_shift = jnp.fft.fftshift(F)
-
-    if cfg.seg_peak_method == "cascade":
+    # real-input half-spectrum path (deploy): the carrier search is
+    # constrained to the right half-plane and the bandpass is the windowed
+    # matmul IDFT, so rfft2 carries the full information content at half
+    # the forward-FFT work — same preconditions and Hermitian-mirror
+    # construction as the force demod (ftp/demod.py::_demod_pair_rfft)
+    use_rfft = (cfg.seg_fft == "rfft2" and cfg.seg_peak_method == "cascade"
+                and cfg.seg_force_right_half_plane
+                and cfg.seg_bandpass == "matmul"
+                and h % 2 == 0 and w % 2 == 0)
+    if use_rfft:
+        Rr = jnp.roll(jnp.fft.rfft2(i_norm), h // 2, axis=0)
+        k_i, py = fftops.carrier_peak_cascade_half(
+            jnp.abs(Rr), cfg.seg_dc_exclusion,
+            prefer_near_center_row=cfg.seg_prefer_peak_near_center_row,
+            peak_max_dy_frac=cfg.seg_peak_max_dy_from_center)
+        px = k_i + w // 2
+        F_shift = None
+    elif cfg.seg_peak_method == "cascade":
         # latency path: the filter cascade as fused masked argmaxes (~0.2 ms
         # at 4K vs ~14 ms for lax.top_k; semantics note in fftops)
+        F_shift = jnp.fft.fftshift(jnp.fft.fft2(i_norm))
         px, py = fftops.carrier_peak_cascade(
             jnp.abs(F_shift), cfg.seg_dc_exclusion,
             force_right_half_plane=cfg.seg_force_right_half_plane,
             prefer_near_center_row=cfg.seg_prefer_peak_near_center_row,
             peak_max_dy_frac=cfg.seg_peak_max_dy_from_center)
     else:
+        F_shift = jnp.fft.fftshift(jnp.fft.fft2(i_norm))
         xs, ys, mags = fftops.find_top_peaks(jnp.abs(F_shift),
                                              cfg.seg_dc_exclusion, cfg.seg_n_peaks)
         px, py = fftops.choose_carrier_peak(
@@ -107,7 +123,12 @@ def segment_stripes(image_gray: jnp.ndarray, roi: jnp.ndarray,
         full = jnp.zeros((h, w), dtype=mask_c.dtype)
         return jax.lax.dynamic_update_slice(full, mask_c, (cb[0], cb[2]))
 
-    if cfg.seg_bandpass == "matmul":
+    if use_rfft:
+        z = fftops.ifft2_bandpass_dynamic_half(
+            Rr, k_i, py, float(cfg.seg_band_radius),
+            rows=rows if cb is not None else None,
+            cols=cols if cb is not None else None)
+    elif cfg.seg_bandpass == "matmul":
         # two skinny twiddle matmuls over the 45x45 carrier window instead
         # of a full-frame masked ifft2 — same math (fftops doc), ~10x faster
         z = fftops.ifft2_bandpass_dynamic(
