@@ -148,3 +148,25 @@ def _spiral_case():
                                             jnp.asarray(mask)))
     np.testing.assert_array_equal(out, _reconstruct_oracle(seed, mask))
     assert not out[36, 19]
+
+
+def test_hmax_ladder_equals_reduce_window():
+    """The doubling shift-max ladder must be EXACTLY reduce_window (max/min
+    are associative + idempotent, so overlapping spans are value-exact) for
+    every window geometry the footprints produce, including asymmetric and
+    one-sided windows at both borders."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+    from vistaf_tpu.ops.morphology import _NEG, _POS, _hmax
+    rng = np.random.default_rng(7)
+    x = rng.random((16, 41)).astype(np.float32)
+    for init, op in [(_NEG, lax.max), (_POS, lax.min)]:
+        for c0, c1 in [(-2, 2), (-1, 1), (0, 0), (-3, 1), (0, 4),
+                       (-15, 15), (-5, 9), (-31, 0), (2, 6), (-6, -2)]:
+            ref = lax.reduce_window(
+                jnp.asarray(x), init, op,
+                window_dimensions=(1, c1 - c0 + 1), window_strides=(1, 1),
+                padding=((0, 0), (-c0, c1)))
+            got = _hmax(jnp.asarray(x), c0, c1, init)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
+                                          err_msg=f"{init} {(c0, c1)}")
